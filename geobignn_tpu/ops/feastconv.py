@@ -1,0 +1,101 @@
+"""Feature-steered graph convolution (FeaStConv) — the core compute op.
+
+Capability parity target: PyTorch-Geometric's FeaStConv as used by every
+model in the reference (code/network.py:258-268 etc.; 12 instances per
+DualGNN branch pair, 9 heads).  Semantics reproduced:
+
+    q_h(i,j) = softmax_h( u_h . (x_j - x_i) + c_h )          (edge scores)
+    out_i    = mean_{j in N(i) ∪ {i}}  sum_h q_h(i,j) W_h x_j  + b
+
+PyG's layer strips then re-adds exactly one self-loop per node and uses mean
+aggregation; we reproduce that with an *implicit* self-loop term — edge
+lists in this framework never store self-loops:
+
+    out_i = ( sum_edges  sum_h q_h W_h x_j  +  sum_h s_h W_h x_i ) / (deg_i + 1)
+    with s = softmax(c)   (the score of a zero feature difference)
+
+TPU mapping: all O(C_in*C_out) work is dense matmuls on the MXU; the sparse
+part is one gather + H segment-sums on the VPU.  The head loop is unrolled
+(H is static, typically 9) so no (E, H, C) tensor is ever materialized —
+the per-head (E, C_in) product fuses into the scatter-add under XLA.
+Gradients come from JAX AD of this formulation (matching torch autograd
+through the head softmax and degree normalization).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from geobignn_tpu.ops import segment
+
+
+class FeastParams(NamedTuple):
+    u: jax.Array  # (C_in, H)   steering directions
+    c: jax.Array  # (H,)        steering bias
+    w: jax.Array  # (H, C_in, C_out)
+    b: jax.Array  # (C_out,)
+
+
+def init_feast_params(
+    key: jax.Array, c_in: int, c_out: int, heads: int, dtype=jnp.float32
+) -> FeastParams:
+    """Glorot-uniform weights / normal(0.1) steering, zero bias (same init
+    family as the PyG layer so training dynamics are comparable)."""
+    k_u, k_w = jax.random.split(key)
+    lim = (6.0 / (c_in + c_out)) ** 0.5
+    w = jax.random.uniform(k_w, (heads, c_in, c_out), dtype, -lim, lim)
+    u = jax.random.normal(k_u, (c_in, heads), dtype) * 0.1
+    return FeastParams(u=u, c=jnp.zeros((heads,), dtype), w=w, b=jnp.zeros((c_out,), dtype))
+
+
+def feast_conv(
+    params: FeastParams,
+    x: jax.Array,  # (N, C_in) node features; trash row must be zero
+    edge_index: jax.Array,  # (2, E) int32 [dst(row), src(col)], no self-loops
+    *,
+    deg: jax.Array | None = None,  # (N,) real-edge in-degree; computed if None
+) -> jax.Array:
+    """Apply the convolution; returns (N, C_out)."""
+    n = x.shape[0]
+    heads = params.c.shape[0]
+    row, col = edge_index[0], edge_index[1]
+
+    x_i = x[row]
+    x_j = x[col]
+    # SDDMM: per-edge head scores on the (E, H) strip
+    s = (x_j - x_i) @ params.u + params.c
+    q = jax.nn.softmax(s, axis=-1)  # (E, H)
+
+    if deg is None:
+        deg = segment.segment_count(row, n, dtype=x.dtype)
+
+    out = jnp.zeros((n, params.w.shape[-1]), dtype=x.dtype)
+    for h in range(heads):  # static unroll; per-head mul fuses into scatter
+        z_h = segment.segment_sum(q[:, h : h + 1] * x_j, row, n)
+        out = out + jnp.dot(z_h, params.w[h], preferred_element_type=x.dtype)
+
+    # implicit self-loop: scores for zero feature difference
+    s_self = jax.nn.softmax(params.c)  # (H,)
+    w_self = jnp.einsum("h,hio->io", s_self, params.w)
+    out = out + jnp.dot(x, w_self, preferred_element_type=x.dtype)
+
+    out = out / (deg + 1.0)[:, None]
+    return out + params.b
+
+
+def feast_conv_dense_reference(params: FeastParams, x, edge_index) -> jax.Array:
+    """O(N^2)-free but loop-free brute-force reference (for unit tests)."""
+    n = x.shape[0]
+    row, col = edge_index[0], edge_index[1]
+    loops = jnp.arange(n, dtype=row.dtype)
+    row = jnp.concatenate([row, loops])
+    col = jnp.concatenate([col, loops])
+    d = x[col] - x[row]
+    q = jax.nn.softmax(d @ params.u + params.c, axis=-1)  # (E+N, H)
+    msg = jnp.einsum("eh,ec,hco->eo", q, x[col], params.w)
+    out = segment.segment_sum(msg, row, n)
+    cnt = segment.segment_count(row, n, dtype=x.dtype)
+    return out / jnp.maximum(cnt, 1.0)[:, None] + params.b

@@ -1,0 +1,210 @@
+"""Precomputed graph-coarsening hierarchies (the TPU answer to Graclus).
+
+The reference coarsens with torch_cluster's `graclus` — a randomized greedy
+sequential C++ matching run *inside every forward pass*
+(code/net_util.py:124-148), producing data-dependent shapes: the central
+obstacle to XLA compilation.  This module re-architects it: matchings are
+computed ONCE on the host at preprocessing time with a seeded deterministic
+greedy heavy-edge matching (same algorithm family, same cluster-quality
+contract, reproducible), and shipped to the device as static int32
+gather/scatter index arrays.  The whole dual U-Net then compiles to a single
+XLA program with static shapes.
+
+One `PoolLevelSpec` corresponds to one reference PoolingLayer application
+(pool_step greedy rounds, default 2); `build_hierarchy` produces the two
+specs each GNNModule branch needs.
+
+Dynamic (activation-dependent) pooling for exact weight-type 3-5/10 parity
+is provided separately by ops/matching.py (on-device parallel matching).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from geobignn_tpu.pool import edge_weight as ew
+
+
+def _csr(edge_index: np.ndarray, n: int):
+    """Sort (row, col, w) by row; return row_ptr plus sorted cols."""
+    order = np.lexsort((edge_index[1], edge_index[0]))
+    row = edge_index[0][order]
+    col = edge_index[1][order]
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(row, minlength=n), out=ptr[1:])
+    return ptr, col.astype(np.int64), order
+
+
+def greedy_matching(
+    edge_index: np.ndarray,
+    weight: np.ndarray | None,
+    n_nodes: int,
+    seed: int = 0,
+) -> np.ndarray:
+    """Seeded greedy heavy-edge matching -> consecutive cluster ids (n,).
+
+    Visits nodes in a seeded random order; an unmatched node merges with its
+    heaviest unmatched neighbour (random neighbour when weight is None),
+    else stays a singleton.  Same policy as graclus but deterministic under
+    the seed.  Cluster ids are relabelled consecutively in order of first
+    appearance by node index (the reference's `consecutive_cluster`)."""
+    rng = np.random.default_rng(seed)
+    ptr, col, order = _csr(edge_index, n_nodes)
+    w = None if weight is None else weight[order]
+    match = np.full(n_nodes, -1, dtype=np.int64)
+    for i in rng.permutation(n_nodes):
+        if match[i] >= 0:
+            continue
+        beg, end = ptr[i], ptr[i + 1]
+        nbrs = col[beg:end]
+        free = match[nbrs] < 0
+        cand = nbrs[free & (nbrs != i)]
+        if cand.size == 0:
+            match[i] = i
+            continue
+        if w is None:
+            j = cand[rng.integers(cand.size)]
+        else:
+            cw = w[beg:end][free & (nbrs != i)]
+            j = cand[np.argmax(cw)]
+        match[i] = match[j] = min(i, j)
+    # consecutive relabel in node-index order
+    uniq, cluster = np.unique(match, return_inverse=True)
+    return cluster.astype(np.int64)
+
+
+def coalesce_edges_np(
+    edge_index: np.ndarray, edge_attr: np.ndarray | None, n: int, op: str = "mean"
+):
+    """Sort + dedup a COO edge list, reducing duplicate attrs (torch_sparse
+    `coalesce` semantics, reference code/net_util.py:294)."""
+    keys = edge_index[0].astype(np.int64) * max(n, 1) + edge_index[1]
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    ei = np.stack([uniq // max(n, 1), uniq % max(n, 1)]).astype(np.int32)
+    if edge_attr is None:
+        return ei, None
+    s = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(s, inverse, edge_attr)
+    if op == "mean":
+        c = np.bincount(inverse, minlength=uniq.size)
+        s = s / np.maximum(c, 1)
+    return ei, s.astype(np.float32)
+
+
+def pool_graph_np(
+    cluster: np.ndarray, edge_index: np.ndarray, edge_attr: np.ndarray | None
+):
+    """Relabel edges through the cluster map, drop self-loops, coalesce
+    (mean attrs).  Mirrors pool_edge (code/net_util.py:289-295)."""
+    n_out = int(cluster.max()) + 1 if cluster.size else 0
+    ei = cluster[edge_index.astype(np.int64)]
+    keep = ei[0] != ei[1]
+    ei = ei[:, keep]
+    attr = None if edge_attr is None else edge_attr[keep]
+    return (*coalesce_edges_np(ei, attr, n_out), n_out)
+
+
+@dataclasses.dataclass
+class PoolLevelSpec:
+    """One pooling layer = `pool_step` matching rounds.
+
+    step_clusters[k] maps nodes of intermediate level k to level k+1;
+    `unpool` is their composition (coarse id per finest-level node);
+    (edge_index, edge_weight) describe the coarsened graph the next conv
+    runs on; step_sizes[k] = node count after step k."""
+
+    step_clusters: list[np.ndarray]
+    step_sizes: list[int]
+    unpool: np.ndarray
+    edge_index: np.ndarray
+    edge_weight: np.ndarray | None
+    n_out: int
+
+
+def build_pool_level(
+    edge_index: np.ndarray,
+    stored_weight: np.ndarray | None,
+    x: np.ndarray | None,
+    n_nodes: int,
+    *,
+    pool_step: int = 2,
+    weight_type: int = 10,
+    wei_param: float = 2.0,
+    pool_type: str = "max",
+    seed: int = 0,
+) -> PoolLevelSpec:
+    """Run `pool_step` matching rounds from one graph level to the next.
+
+    The affinity is evaluated once before the rounds (as in the reference,
+    code/net_util.py:80) and carried through coalescing between rounds."""
+    w = ew.compute_edge_weight(weight_type, edge_index, stored_weight, x, wei_param)
+    ei = edge_index
+    clusters, sizes = [], []
+    n = n_nodes
+    xs = x
+    for k in range(pool_step):
+        cluster = greedy_matching(ei, w, n, seed=seed + k)
+        clusters.append(cluster)
+        ei, w, n = pool_graph_np(cluster, ei, w)
+        sizes.append(n)
+        if xs is not None:
+            xs = _pool_features_np(xs, cluster, n, pool_type)
+        if ei.shape[1] == 0:
+            break
+    unpool = clusters[0]
+    for c in clusters[1:]:
+        unpool = c[unpool]
+    return PoolLevelSpec(
+        step_clusters=clusters,
+        step_sizes=sizes,
+        unpool=unpool.astype(np.int64),
+        edge_index=ei.astype(np.int32),
+        edge_weight=w,
+        n_out=n,
+    )
+
+
+def _pool_features_np(x, cluster, n_out, pool_type):
+    out = np.full((n_out, x.shape[1]), -np.inf if pool_type == "max" else 0.0)
+    if pool_type == "max":
+        np.maximum.at(out, cluster, x)
+        out[np.isneginf(out)] = 0.0
+    else:
+        np.add.at(out, cluster, x)
+        cnt = np.bincount(cluster, minlength=n_out)
+        out /= np.maximum(cnt, 1)[:, None]
+    return out.astype(x.dtype)
+
+
+def build_hierarchy(
+    edge_index: np.ndarray,
+    stored_weight: np.ndarray | None,
+    x: np.ndarray | None,
+    n_nodes: int,
+    *,
+    n_levels: int = 2,
+    pool_step: int = 2,
+    weight_type: int = 10,
+    wei_param: float = 2.0,
+    pool_type: str = "max",
+    seed: int = 0,
+) -> list[PoolLevelSpec]:
+    """The full per-branch hierarchy: `n_levels` PoolLevelSpecs (the two
+    PoolingLayers of a GNNModule).  Activation-dependent weight types use
+    the input features `x`, pooled along the way, as proxy (module doc)."""
+    specs = []
+    ei, w, n, xs = edge_index, stored_weight, n_nodes, x
+    for lvl in range(n_levels):
+        spec = build_pool_level(
+            ei, w, xs, n,
+            pool_step=pool_step, weight_type=weight_type, wei_param=wei_param,
+            pool_type=pool_type, seed=seed + 1000 * lvl,
+        )
+        specs.append(spec)
+        ei, w, n = spec.edge_index, spec.edge_weight, spec.n_out
+        if xs is not None:
+            for c, sz in zip(spec.step_clusters, spec.step_sizes):
+                xs = _pool_features_np(xs, c, sz, pool_type)
+    return specs
