@@ -1,0 +1,116 @@
+"""Run configuration: typed dataclass + JSON round-trip.
+
+Replaces the reference's argparse namespace with an `eval`-based extension
+hatch that is pickled per run and later *is* the inference config
+(code/train_dual.py:39-96,127; code/test_dual.py:93).  Same knob surface,
+plus the TPU-native extras (mesh axes, precision, padding granularity);
+serialization is safe JSON, keyed into the run directory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+from geobignn_tpu.data.builder import BuildConfig
+
+
+@dataclasses.dataclass
+class Config:
+    # data
+    data_type: str = "Synthetic"
+    dataset_dir: str = "dataset"
+    flag: str = "run"
+    seed: int | None = None
+    filter_patch_count: int = 100
+    sub_size: int = 20000
+
+    # losses
+    loss_v: str = "L1"
+    loss_n: str = "L1"
+    loss_v_scale: float = 1.0
+    loss_n_scale: float = 1.0
+
+    # pooling / model
+    wei_param: float = 2.0
+    edge_weight_type: int = 10
+    pool_type: str = "max"
+    heads: int = 9
+
+    # optimization
+    max_epoch: int = 1000
+    batch_size: int = 1  # gradient-accumulation factor
+    lr_sch: str = "lmd"  # lmd | step | multi_step | exp | auto
+    lr: float = 1e-3
+    lr_step: tuple = (10,)
+    lr_decay: float = 1.0
+    optimizer: str = "adam"  # adam | sgd | rmsprop
+    momentum: float = 0.9
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+
+    # restore
+    restore: bool = False
+    model_path: str | None = None
+
+    # TPU-native extras
+    granularity: int = 128
+    dp: int = 1
+    gp: int = 1
+    precision: str = "float32"  # float32 | bfloat16
+    log_dir: str = "log"
+
+    # derived (set in __post_init__; kept serializable)
+    force_depth: bool = dataclasses.field(default=False)
+
+    def __post_init__(self):
+        self.force_depth = self.data_type in ("Kinect_v1", "Kinect_v2")
+        if isinstance(self.lr_step, list):
+            self.lr_step = tuple(self.lr_step)
+
+    # ------------------------------------------------------------------
+    def build_config(self) -> BuildConfig:
+        return BuildConfig(
+            weight_type=self.edge_weight_type,
+            wei_param=self.wei_param,
+            pool_type=self.pool_type,
+            with_depth=self.force_depth,
+            granularity=self.granularity,
+            seed=0 if self.seed is None else self.seed,
+        )
+
+    def loss_cfg(self) -> dict:
+        return dict(
+            loss_v=self.loss_v,
+            loss_n=self.loss_n,
+            loss_v_scale=self.loss_v_scale,
+            loss_n_scale=self.loss_n_scale,
+        )
+
+    # ------------------------------------------------------------------
+    def to_json(self, path: str | None = None) -> str:
+        s = json.dumps(dataclasses.asdict(self), indent=2, default=str)
+        if path:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+    @classmethod
+    def from_json(cls, src: str) -> "Config":
+        if os.path.exists(src):
+            with open(src) as f:
+                d = json.load(f)
+        else:
+            d = json.loads(src)
+        return cls.from_dict(d)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def with_updates(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)

@@ -26,9 +26,14 @@ EPS_NORMALIZE = 1e-12
 # --------------------------------------------------------------------------
 
 def safe_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    """x / max(||x||, eps) — matches torch.nn.functional.normalize."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, EPS_NORMALIZE)
+    """x / max(||x||, eps) — matches torch.nn.functional.normalize.
+
+    Written via a clamped squared norm so the gradient at x == 0 is exactly
+    zero instead of NaN (d sqrt at 0 is infinite; padded zero rows flow
+    through here)."""
+    sq = (x * x).sum(axis=axis, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(sq, EPS_NORMALIZE**2))
+    return x / n
 
 
 def face_normals(points: jnp.ndarray, fv_indices: jnp.ndarray) -> jnp.ndarray:

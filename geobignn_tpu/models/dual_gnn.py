@@ -1,0 +1,142 @@
+"""The shipped model family: graph U-Net branches + bi-domain cascade.
+
+Capability parity targets:
+  * GNNModule — the FeaStConv encoder/decoder with 2 pooling layers and
+    copy-back unpooling + skip concats (code/network.py:254-300);
+  * DualGNN — vertex branch regresses residual positions; facet features
+    are rebuilt from the *denoised* vertices (differentiable centroids +
+    cross-product normals, the cross-domain coupling); facet branch
+    regresses unit normals (code/network.py:303-343), with the
+    `force_depth` Kinect head (out = scalar * depth_direction).
+
+TPU re-design: pooling consumes precomputed static PoolStep scatter maps
+(no in-forward graclus); shapes are static per SizePlan; the trash-slot
+padding convention (structs.py) removes all in-network masking.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from geobignn_tpu import geometry
+from geobignn_tpu.ops import segment
+from geobignn_tpu.ops.feastconv import FeastParams, feast_conv
+from geobignn_tpu.structs import BranchGraph, DualSample, GraphLevel, PoolStep
+
+LEAKY_SLOPE = 0.2  # reference uses F.leaky_relu(x, 0.2) throughout
+
+
+def _steer_init(scale=0.1):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * scale
+
+    return init
+
+
+class FeaStConv(nn.Module):
+    """Linen wrapper over ops.feastconv with per-head Glorot weights."""
+
+    c_out: int
+    heads: int = 9
+    gp_axis: str | None = None  # edge-partition mesh axis (graph parallel)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, level: GraphLevel) -> jax.Array:
+        c_in = x.shape[-1]
+        u = self.param("u", _steer_init(), (c_in, self.heads))
+        c = self.param("c", nn.initializers.zeros, (self.heads,))
+        w = self.param(
+            "w", nn.initializers.glorot_uniform(), (self.heads, c_in, self.c_out)
+        )
+        b = self.param("b", nn.initializers.zeros, (self.c_out,))
+        p = FeastParams(u=u.astype(x.dtype), c=c.astype(x.dtype),
+                        w=w.astype(x.dtype), b=b.astype(x.dtype))
+        return feast_conv(
+            p, x, level.edge_index,
+            deg=None if self.gp_axis else level.deg.astype(x.dtype),
+            psum_axis=self.gp_axis,
+        )
+
+
+def pool_features(
+    x: jax.Array, steps: tuple[PoolStep, ...], pool_type: str = "max"
+) -> jax.Array:
+    """Apply coarsening rounds as segment reductions over static maps."""
+    for st in steps:
+        if pool_type == "max":
+            x = segment.segment_max(x, st.cluster, st.n_out)
+        elif pool_type == "mean":
+            x = segment.segment_mean(x, st.cluster, st.n_out)
+        else:
+            raise ValueError(pool_type)
+    return x
+
+
+class GNNModule(nn.Module):
+    """FeaStConv U-Net: 32 -> (pool) 64 -> (pool) 128 -> 128, then unpool
+    with skip concatenation back to 32 output channels."""
+
+    pool_type: str = "max"
+    heads: int = 9
+    gp_axis: str | None = None
+
+    @nn.compact
+    def __call__(self, branch: BranchGraph, x: jax.Array) -> jax.Array:
+        l1, l2, l3 = branch.levels
+        act = lambda v: nn.leaky_relu(v, LEAKY_SLOPE)
+
+        x1 = act(FeaStConv(32, self.heads, self.gp_axis, name="l_conv1")(x, l1))
+        x2 = pool_features(x1, branch.steps[0:2], self.pool_type)
+        x2 = act(FeaStConv(64, self.heads, self.gp_axis, name="l_conv2")(x2, l2))
+        x3 = pool_features(x2, branch.steps[2:4], self.pool_type)
+        x3 = act(FeaStConv(128, self.heads, self.gp_axis, name="l_conv3")(x3, l3))
+        x3 = act(FeaStConv(128, self.heads, self.gp_axis, name="l_conv4")(x3, l3))
+
+        u2 = x3[branch.unpool2]  # copy-back unpooling (gather)
+        u2 = FeaStConv(64, self.heads, self.gp_axis, name="r_conv1")(u2, l2)
+        x2 = jnp.concatenate([x2, u2], axis=1)
+        x2 = act(FeaStConv(64, self.heads, self.gp_axis, name="r_conv2")(x2, l2))
+
+        u1 = x2[branch.unpool1]
+        u1 = FeaStConv(32, self.heads, self.gp_axis, name="r_conv3")(u1, l1)
+        x1 = jnp.concatenate([x1, u1], axis=1)
+        return act(FeaStConv(32, self.heads, self.gp_axis, name="r_conv4")(x1, l1))
+
+
+class DualGNN(nn.Module):
+    """Bi-domain cascade; returns (vertex_positions, face_normals)."""
+
+    force_depth: bool = False
+    pool_type: str = "max"
+    heads: int = 9
+    gp_axis: str | None = None
+
+    @nn.compact
+    def __call__(self, sample: DualSample) -> tuple[jax.Array, jax.Array]:
+        act = lambda v: nn.leaky_relu(v, LEAKY_SLOPE)
+        xyz = sample.v.x[:, :3]
+
+        feat_v = GNNModule(self.pool_type, self.heads, self.gp_axis, name="gnn_v")(
+            sample.v, sample.v.x
+        )
+        h = act(nn.Dense(1024, name="fc_v1")(feat_v))
+        out_dim = 1 if self.force_depth else 3
+        d = nn.Dense(out_dim, name="fc_v2")(h)
+        if self.force_depth:
+            d = d * sample.v.depth_direction
+        vert_p = d + xyz
+
+        # rebuild facet features from the denoised vertices (differentiable)
+        face_cent = vert_p[sample.fv_indices].mean(axis=1)
+        face_norm = geometry.face_normals(vert_p, sample.fv_indices)
+        x_f = jnp.concatenate([sample.f.x, face_cent, face_norm], axis=1)
+
+        feat_f = GNNModule(self.pool_type, self.heads, self.gp_axis, name="gnn_f")(
+            sample.f, x_f
+        )
+        h = act(nn.Dense(1024, name="fc_f1")(feat_f))
+        n = nn.Dense(3, name="fc_f2")(h)
+        norm_p = geometry.safe_normalize(n)
+        return vert_p, norm_p

@@ -57,8 +57,16 @@ def feast_conv(
     edge_index: jax.Array,  # (2, E) int32 [dst(row), src(col)], no self-loops
     *,
     deg: jax.Array | None = None,  # (N,) real-edge in-degree; computed if None
+    psum_axis: str | None = None,  # edge-partition parallelism (see below)
 ) -> jax.Array:
-    """Apply the convolution; returns (N, C_out)."""
+    """Apply the convolution; returns (N, C_out).
+
+    Edge-partition (graph-parallel) mode: when `psum_axis` names a mesh axis
+    (inside shard_map/pjit), `edge_index` holds only this shard's edge slice
+    while `x` is replicated over that axis; the per-shard partial aggregate
+    and degree are combined with ONE fused psum per conv — the matmuls are
+    applied to partial sums first (they are linear, so sum-then-matmul ==
+    matmul-then-sum), keeping the collective payload at (N, C_out + 1)."""
     n = x.shape[0]
     heads = params.c.shape[0]
     row, col = edge_index[0], edge_index[1]
@@ -69,13 +77,18 @@ def feast_conv(
     s = (x_j - x_i) @ params.u + params.c
     q = jax.nn.softmax(s, axis=-1)  # (E, H)
 
-    if deg is None:
+    if deg is None or psum_axis is not None:
         deg = segment.segment_count(row, n, dtype=x.dtype)
 
     out = jnp.zeros((n, params.w.shape[-1]), dtype=x.dtype)
     for h in range(heads):  # static unroll; per-head mul fuses into scatter
         z_h = segment.segment_sum(q[:, h : h + 1] * x_j, row, n)
         out = out + jnp.dot(z_h, params.w[h], preferred_element_type=x.dtype)
+
+    if psum_axis is not None:  # combine edge-shard partials
+        packed = jnp.concatenate([out, deg[:, None]], axis=1)
+        packed = jax.lax.psum(packed, psum_axis)
+        out, deg = packed[:, :-1], packed[:, -1]
 
     # implicit self-loop: scores for zero feature difference
     s_self = jax.nn.softmax(params.c)  # (H,)

@@ -1,0 +1,149 @@
+"""Multi-chip execution: data-parallel x graph-parallel SPMD.
+
+The reference is strictly single-process / single-GPU (SURVEY §2c); its only
+scaling mechanism is host-side submesh splitting with overlap averaging.
+This module is the first-class replacement, built on `jax.sharding.Mesh` +
+`shard_map` with XLA collectives over ICI:
+
+  * axis "dp" — data parallel: the stacked sample batch is split across
+    chips; gradients are pmean'd.
+  * axis "gp" — graph (edge-partition) parallel, the mesh analog of
+    sequence/context parallelism: each chip owns a slice of every level's
+    edge list (the trash-padding convention makes ANY contiguous slice a
+    valid partition), node features stay replicated, and each FeaStConv
+    combines partial aggregates with one fused psum over "gp"
+    (ops/feastconv.py).  Backward collectives are inserted automatically by
+    shard_map's varying-axes tracking.
+
+Halo-exchange node partitioning (replacing replication with ppermute'd
+boundary buffers) is the planned next stage on top of this seam.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from geobignn_tpu.models import losses
+from geobignn_tpu.structs import DualSample
+
+
+def make_mesh(dp: int, gp: int, devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    assert len(devices) >= dp * gp, f"need {dp * gp} devices, have {len(devices)}"
+    dev = np.asarray(devices[: dp * gp]).reshape(dp, gp)
+    return Mesh(dev, ("dp", "gp"))
+
+
+def stack_samples(samples: list[DualSample]) -> DualSample:
+    """Stack same-SizePlan samples into a batched pytree (leading axis B)."""
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *samples)
+
+
+_EDGE_LEAVES = {"edge_index", "edge_weight"}
+
+
+def batch_pspecs(batched: DualSample) -> Any:
+    """PartitionSpec pytree for a batched sample: batch axis on "dp";
+    edge arrays additionally sharded on "gp" along the edge axis."""
+
+    def spec(path, leaf):
+        name = None
+        for k in reversed(path):
+            if isinstance(k, jax.tree_util.GetAttrKey):
+                name = k.name
+                break
+        if name == "edge_index":  # (B, 2, E)
+            return P("dp", None, "gp")
+        if name == "edge_weight":  # (B, E)
+            return P("dp", "gp")
+        return P("dp", *([None] * (leaf.ndim - 1)))
+
+    return jax.tree_util.tree_map_with_path(spec, batched)
+
+
+def dual_loss_and_metrics(model, params, sample: DualSample, cfg) -> tuple:
+    """Shared loss computation: returns (loss, metrics dict)."""
+    vert_p, norm_p = model.apply(params, sample)
+    mask_v = sample.v.levels[0].node_mask
+    mask_f = sample.f.levels[0].node_mask
+    lv = losses.loss_v(vert_p, sample.v.y, mask_v, cfg.get("loss_v", "L1"))
+    ln = losses.loss_n(norm_p, sample.f.y, mask_f, cfg.get("loss_n", "L1"))
+    loss = losses.dual_loss(
+        lv, ln, cfg.get("loss_v_scale", 1.0), cfg.get("loss_n_scale", 1.0)
+    )
+    metrics = dict(
+        loss=loss,
+        loss_v=lv,
+        loss_f=ln,
+        error_v=losses.error_v(vert_p, sample.v.y, mask_v),
+        error_f=losses.error_n(norm_p, sample.f.y, mask_f),
+    )
+    return loss, metrics
+
+
+def make_sharded_train_step(
+    model, tx, mesh: Mesh, batched_sample: DualSample, loss_cfg: dict | None = None
+) -> Callable:
+    """Build the jitted SPMD train step for a given batch structure.
+
+    model must be constructed with gp_axis="gp".  The step consumes the
+    full stacked batch (B divisible by dp), runs grad accumulation over the
+    local per-chip micro-batch via lax.scan, pmeans over "dp", and applies
+    one optimizer update.  Returns step(params, opt_state, batch) ->
+    (params, opt_state, metrics)."""
+    cfg = loss_cfg or {}
+    specs = batch_pspecs(batched_sample)
+
+    def local_step(params, opt_state, batch):
+        def loss_fn(p, sample):
+            return dual_loss_and_metrics(model, p, sample, cfg)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, sample):
+            g_acc, m_acc = carry
+            (_, m), g = grad_fn(params, sample)
+            g_acc = jax.tree.map(lambda a, b: a + b, g_acc, g)
+            m_acc = jax.tree.map(lambda a, b: a + b, m_acc, m)
+            return (g_acc, m_acc), None
+
+        # initial accumulators must carry the same varying-axes type as the
+        # body outputs (dp-varying, since the batch is dp-sharded)
+        vary = lambda t: jax.tree.map(
+            lambda a: jax.lax.pcast(a, ("dp",), to="varying"), t
+        )
+        zeros_g = vary(jax.tree.map(jax.numpy.zeros_like, params))
+        zeros_m = vary({
+            k: jax.numpy.zeros(()) for k in ["loss", "loss_v", "loss_f", "error_v", "error_f"]
+        })
+        (grads, metrics), _ = jax.lax.scan(body, (zeros_g, zeros_m), batch)
+
+        # check_vma's transpose of the params pcast already psums grads over
+        # the mesh axes, so every dp rank holds the GLOBAL gradient sum; the
+        # pmean below is numerically a no-op that restores the invariant vma
+        # type (the scan carry forced dp-varying), then we normalize by the
+        # global batch.  Metrics are genuinely dp-varying per-rank means.
+        b_local = jax.tree.leaves(batch)[0].shape[0]
+        b_global = b_local * jax.lax.axis_size("dp")
+        grads = jax.lax.pmean(grads, "dp")
+        grads = jax.tree.map(lambda g: g / b_global, grads)
+        metrics = jax.tree.map(lambda m: m / b_local, metrics)
+        metrics = jax.lax.pmean(metrics, "dp")
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, metrics
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), specs),
+        out_specs=(P(), P(), P()),
+        check_vma=True,  # varying-axes tracking inserts the gp backward psums
+    )
+    return jax.jit(sharded)

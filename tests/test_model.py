@@ -1,0 +1,140 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geobignn_tpu import structs
+from geobignn_tpu.data import synth
+from geobignn_tpu.data.builder import BuildConfig, build_dual_sample
+from geobignn_tpu.models import DualGNN, losses
+
+
+@pytest.fixture(scope="module")
+def sample_and_plan():
+    m_o = synth.icosphere(3)  # 1280 faces, 642 verts
+    m_n = synth.add_noise(m_o, 0.2, seed=3)
+    return build_dual_sample(m_n, m_o, BuildConfig(granularity=64))
+
+
+@pytest.fixture(scope="module")
+def model_out(sample_and_plan):
+    sample, plan = sample_and_plan
+    model = DualGNN()
+    params = model.init(jax.random.PRNGKey(0), sample)
+    vert_p, norm_p = jax.jit(model.apply)(params, sample)
+    return sample, plan, model, params, vert_p, norm_p
+
+
+def test_sample_shapes(sample_and_plan):
+    sample, plan = sample_and_plan
+    assert sample.v.x.shape == (plan.v.n1, 6)
+    assert sample.f.x.shape == (plan.f.n1, 6)
+    assert sample.v.levels[0].edge_index.shape == (2, plan.v.e1)
+    assert int(sample.v.levels[0].node_mask.sum()) == 642
+    assert int(sample.f.levels[0].node_mask.sum()) == 1280
+    # hierarchy coarsens
+    n2 = int(sample.v.levels[1].node_mask.sum())
+    n3 = int(sample.v.levels[2].node_mask.sum())
+    assert n3 < n2 < 642
+    # padded fv rows point at the vertex trash slot
+    assert int(sample.fv_indices[-1, 0]) == plan.v.n1 - 1
+
+
+def test_forward_shapes_and_finite(model_out):
+    sample, plan, _, _, vert_p, norm_p = model_out
+    assert vert_p.shape == (plan.v.n1, 3)
+    assert norm_p.shape == (plan.f.n1, 3)
+    assert bool(jnp.isfinite(vert_p).all()) and bool(jnp.isfinite(norm_p).all())
+    # predicted normals are unit length on valid faces
+    norms = jnp.linalg.norm(norm_p, axis=1)
+    mask = sample.f.levels[0].node_mask
+    np.testing.assert_allclose(
+        np.asarray(norms * mask), np.asarray(mask), atol=1e-5
+    )
+
+
+def test_padding_invariance(model_out):
+    """Same mesh padded to a bigger plan must give identical valid outputs."""
+    sample, plan, model, params, vert_p, norm_p = model_out
+    m_o = synth.icosphere(3)
+    m_n = synth.add_noise(m_o, 0.2, seed=3)
+    big_plan = structs.SizePlan(
+        v=dataclasses.replace(plan.v, n1=plan.v.n1 + 64, e1=plan.v.e1 + 128),
+        f=dataclasses.replace(plan.f, n1=plan.f.n1 + 64, e3=plan.f.e3 + 64),
+    )
+    sample2, _ = build_dual_sample(m_n, m_o, BuildConfig(granularity=64), plan=big_plan)
+    vert2, norm2 = jax.jit(model.apply)(params, sample2)
+    nv, nf = 642, 1280
+    np.testing.assert_allclose(
+        np.asarray(vert2[:nv]), np.asarray(vert_p[:nv]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(norm2[:nf]), np.asarray(norm_p[:nf]), atol=2e-5
+    )
+
+
+def test_losses_match_unpadded(model_out):
+    sample, plan, _, _, vert_p, norm_p = model_out
+    nv = 642
+    mask = sample.v.levels[0].node_mask
+    lv = losses.loss_v(vert_p, sample.v.y, mask, "L1")
+    ref = np.abs(np.asarray(vert_p[:nv]) - np.asarray(sample.v.y[:nv])).sum(1).mean()
+    assert float(lv) == pytest.approx(float(ref), rel=1e-5)
+    ev = losses.error_v(vert_p, sample.v.y, mask)
+    ref_e = np.sqrt(
+        ((np.asarray(vert_p[:nv]) - np.asarray(sample.v.y[:nv])) ** 2).sum(1)
+    ).mean()
+    assert float(ev) == pytest.approx(float(ref_e), rel=1e-5)
+
+
+def test_error_n_analytic():
+    # 90-degree rotation of a unit normal -> 90 deg error
+    a = jnp.array([[1.0, 0, 0], [0, 1.0, 0]])
+    b = jnp.array([[0, 1.0, 0], [0, 1.0, 0]])
+    e = losses.error_n(a, b, jnp.ones(2))
+    assert float(e) == pytest.approx(45.0, abs=1e-4)  # mean(90, 0)
+
+
+def test_cross_domain_gradients(model_out):
+    """Normal loss must backprop through the facet rebuild into the vertex
+    branch (joint training property, reference network.py:334-337)."""
+    sample, _, model, params, _, _ = model_out
+
+    def norm_loss_only(p):
+        _, norm_p = model.apply(p, sample)
+        return losses.loss_n(norm_p, sample.f.y, sample.f.levels[0].node_mask)
+
+    g = jax.grad(norm_loss_only)(params)
+    gv = g["params"]["gnn_v"]["l_conv1"]["w"]
+    assert float(jnp.abs(gv).max()) > 0.0
+    for leaf in jax.tree.leaves(g):
+        assert bool(jnp.isfinite(leaf).all())
+
+
+def test_force_depth_head():
+    m_o = synth.icosphere(2)
+    m_n = synth.add_noise(m_o, 0.15, seed=1)
+    sample, _ = build_dual_sample(
+        m_n, m_o, BuildConfig(with_depth=True, granularity=64)
+    )
+    model = DualGNN(force_depth=True)
+    params = model.init(jax.random.PRNGKey(0), sample)
+    vert_p, _ = model.apply(params, sample)
+    # displacement is along depth_direction
+    disp = vert_p - sample.v.x[:, :3]
+    d = sample.v.depth_direction
+    cross = jnp.linalg.norm(jnp.cross(disp, d), axis=1)
+    assert float(cross.max()) < 1e-4
+
+
+def test_chamfer_and_nearest():
+    a = jnp.array([[0.0, 0, 0], [1, 0, 0]])
+    b = jnp.array([[0.0, 0, 0.5], [1, 0, 0], [5, 5, 5]])
+    d = losses.nearest_distance(a, b, block=2)
+    np.testing.assert_allclose(np.asarray(d), [0.5, 0.0], atol=1e-6)
+    cd = losses.chamfer_distance(
+        a, b, jnp.ones(2), jnp.array([1.0, 1.0, 0.0]), block=2
+    )
+    assert float(cd) == pytest.approx(0.25 / 2 + 0.25 / 2, abs=1e-6)
