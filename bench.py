@@ -1,0 +1,100 @@
+"""Benchmark: bi-domain GNN training-step throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "train_edges_per_s", "value": N, "unit": "edges/s/chip",
+   "vs_baseline": R}
+
+Workload: full DualGNN training step (forward + backward + Adam update,
+jitted) on a noisy icosphere with 20480 faces — the reference's submesh
+scale (sub_size=20000, code/train_dual.py:55).  "Edges" counts real
+(unpadded) per-conv edge messages per forward: 3 convs touch level-1 edges,
+3 level-2, 2 level-3, per branch (see bench_baseline_torch.messages_per_step).
+
+vs_baseline divides by a measured reference-style PyTorch-CPU
+implementation of identical semantics (bench_baseline_torch.py), cached in
+BENCH_BASELINE.json — the reference repo publishes no numbers and its CUDA
+stack is not installed here (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    import optax
+
+    from bench_baseline_torch import messages_per_step
+    from geobignn_tpu.config import Config
+    from geobignn_tpu.data import synth
+    from geobignn_tpu.data.builder import BuildConfig, build_dual_sample, build_raw
+    from geobignn_tpu.models import DualGNN
+    from geobignn_tpu.train.trainer import _metrics_of
+
+    subdiv = int(os.environ.get("BENCH_SUBDIV", "5"))  # 20480 faces
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    m_o = synth.icosphere(subdiv)
+    m_n = synth.add_noise(m_o, 0.2, seed=0)
+    bc = BuildConfig(granularity=256)
+    bv, bf, _ = build_raw(m_n, m_o, bc)
+    msgs = messages_per_step(bv) + messages_per_step(bf)
+    sample, _ = build_dual_sample(m_n, m_o, bc)
+
+    cfg = Config(granularity=256)
+    model = DualGNN()
+    params = model.init(jax.random.PRNGKey(0), sample)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, sample):
+        def loss_fn(p):
+            vert_p, norm_p = model.apply(p, sample)
+            return _metrics_of(vert_p, norm_p, sample, cfg)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, metrics["loss"]
+
+    sample = jax.device_put(sample)
+    # warmup / compile
+    params, opt_state, loss = train_step(params, opt_state, sample)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = train_step(params, opt_state, sample)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / steps
+
+    edges_per_s = msgs / dt
+
+    vs_baseline = 0.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("faces") == m_n.n_faces and base.get("edges_per_s", 0) > 0:
+            vs_baseline = edges_per_s / base["edges_per_s"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_edges_per_s",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s/chip",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Command-line entry points.
+
+Mirrors the reference's invocation surface (run_py*.bat:
+`python train_dual.py --data_type=Synthetic --gpu=0 --flag=x --lr_sch=auto ...`)
+as subcommands of one module:
+
+    python -m geobignn_tpu train  --data_type=Synthetic --flag=x [--k=v ...]
+    python -m geobignn_tpu infer  --run_dir=log/.../timestamp [--data_dir=...]
+    python -m geobignn_tpu eval   --result_dir=... --original_dir=...
+
+Unknown `--key=value` pairs are accepted and applied onto the Config
+(typed via json parsing — replacing the reference's `eval` escape hatch,
+code/train_dual.py:81-86, without arbitrary code execution).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _apply_extras(cfg_dict: dict, extras: list[str]) -> dict:
+    for arg in extras:
+        if not arg.startswith("--") or "=" not in arg:
+            raise SystemExit(f"unrecognized argument: {arg}")
+        k, v = arg[2:].split("=", 1)
+        try:
+            cfg_dict[k] = json.loads(v)
+        except json.JSONDecodeError:
+            cfg_dict[k] = v
+    return cfg_dict
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    parser = argparse.ArgumentParser(prog="geobignn_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train")
+    p_train.add_argument("--data_type", required=True)
+    p_train.add_argument("--flag", default="run")
+    p_train.add_argument("--dataset_dir", default="dataset")
+    p_train.add_argument("--config", default=None, help="JSON config file")
+
+    p_inf = sub.add_parser("infer")
+    p_inf.add_argument("--run_dir", required=True)
+    p_inf.add_argument("--data_dir", default=None)
+    p_inf.add_argument("--dataset_root", default=None)
+    p_inf.add_argument("--sub_size", type=int, default=None)
+
+    p_ev = sub.add_parser("eval")
+    p_ev.add_argument("--result_dir", required=True)
+    p_ev.add_argument("--original_dir", required=True)
+
+    args, extras = parser.parse_known_args(argv)
+
+    if args.cmd == "train":
+        from geobignn_tpu.config import Config
+        from geobignn_tpu.train.trainer import train
+
+        base = {}
+        if args.config:
+            with open(args.config) as f:
+                base = json.load(f)
+        base.update(
+            data_type=args.data_type, flag=args.flag, dataset_dir=args.dataset_dir
+        )
+        cfg = Config.from_dict(_apply_extras(base, extras))
+        run_dir = train(cfg)
+        from geobignn_tpu.infer.predict import predict_dir
+
+        predict_dir(run_dir, dataset_root=cfg.dataset_dir)
+    elif args.cmd == "infer":
+        from geobignn_tpu.infer.predict import predict_dir
+
+        predict_dir(args.run_dir, args.data_dir, args.dataset_root, args.sub_size)
+    elif args.cmd == "eval":
+        from geobignn_tpu.infer.evaluate import eval_denoising_result
+
+        eval_denoising_result(args.result_dir, args.original_dir)
+
+
+if __name__ == "__main__":
+    main()

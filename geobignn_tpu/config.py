@@ -57,6 +57,7 @@ class Config:
     model_path: str | None = None
 
     # TPU-native extras
+    augment: bool = True  # random SO(3) rotation during training
     granularity: int = 128
     dp: int = 1
     gp: int = 1
@@ -103,8 +104,10 @@ class Config:
         if os.path.exists(src):
             with open(src) as f:
                 d = json.load(f)
-        else:
+        elif src.lstrip().startswith("{"):
             d = json.loads(src)
+        else:
+            raise FileNotFoundError(f"config file not found: {src}")
         return cls.from_dict(d)
 
     @classmethod

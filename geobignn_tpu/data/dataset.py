@@ -215,7 +215,63 @@ def process_one_mesh(
     return results
 
 
-class DualDataset:
+class BaseDualDataset:
+    """Entries + shared SizePlan + padding-on-get (common machinery)."""
+
+    entries: list
+    plan: structs.SizePlan | None
+
+    def _compute_plan(self, granularity: int):
+        plan = None
+        for bv, bf, _, _, _ in self.entries:
+            p = builder.plan_for(bv, bf, granularity)
+            plan = p if plan is None else plan.merge(p)
+        self.plan = plan
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def get(self, idx: int, plan: structs.SizePlan | None = None) -> structs.DualSample:
+        bv, bf, meta, _, _ = self.entries[idx]
+        plan = plan or self.plan
+        gv = builder._pad_branch(bv, plan.v)
+        gf = builder._pad_branch(bf, plan.f)
+        trash_v = plan.v.n1 - 1
+        fv = np.full((plan.f.n1, 3), trash_v, dtype=np.int32)
+        fv[: meta["fv_indices"].shape[0]] = meta["fv_indices"]
+        pairs = graphs.build_edge_fv(meta["fv_indices"])
+        n_pairs_pad = 3 * plan.f.n1
+        return structs.DualSample(
+            v=gv,
+            f=gf,
+            fv_indices=fv,
+            edge_dual_v=structs.make_index_map(pairs[1], n_pairs_pad, plan.v.n1),
+            edge_dual_f=structs.make_index_map(pairs[0], n_pairs_pad, plan.f.n1),
+            centroid=meta["centroid"].astype(np.float32),
+            scale=np.float32(meta["scale"]),
+        )
+
+
+class InMemoryDataset(BaseDualDataset):
+    """Dataset over in-memory (noisy, original) TriMesh pairs (tests,
+    synthetic corpora, benchmark inputs)."""
+
+    def __init__(
+        self,
+        mesh_pairs: list[tuple[TriMesh, TriMesh | None]],
+        build_cfg: builder.BuildConfig = builder.BuildConfig(),
+        submesh_size: int = sys.maxsize,
+    ):
+        self.build_cfg = build_cfg
+        self.entries = []
+        for m_n, m_o in mesh_pairs:
+            self.entries.extend(
+                process_one_mesh(m_n, submesh_size, m_o, build_cfg)
+            )
+        self._compute_plan(build_cfg.granularity)
+
+
+class DualDataset(BaseDualDataset):
     """Disk-backed dataset: discovery, preprocessing, shared SizePlan."""
 
     def __init__(
@@ -258,31 +314,4 @@ class DualDataset:
                 )
             )
 
-        plan = None
-        for bv, bf, _, _, _ in self.entries:
-            p = builder.plan_for(bv, bf, build_cfg.granularity)
-            plan = p if plan is None else plan.merge(p)
-        self.plan: structs.SizePlan | None = plan
-
-    def __len__(self) -> int:
-        return len(self.entries)
-
-    def get(self, idx: int, plan: structs.SizePlan | None = None) -> structs.DualSample:
-        bv, bf, meta, _, _ = self.entries[idx]
-        plan = plan or self.plan
-        gv = builder._pad_branch(bv, plan.v)
-        gf = builder._pad_branch(bf, plan.f)
-        trash_v = plan.v.n1 - 1
-        fv = np.full((plan.f.n1, 3), trash_v, dtype=np.int32)
-        fv[: meta["fv_indices"].shape[0]] = meta["fv_indices"]
-        pairs = graphs.build_edge_fv(meta["fv_indices"])
-        n_pairs_pad = 3 * plan.f.n1
-        return structs.DualSample(
-            v=gv,
-            f=gf,
-            fv_indices=fv,
-            edge_dual_v=structs.make_index_map(pairs[1], n_pairs_pad, plan.v.n1),
-            edge_dual_f=structs.make_index_map(pairs[0], n_pairs_pad, plan.f.n1),
-            centroid=meta["centroid"].astype(np.float32),
-            scale=np.float32(meta["scale"]),
-        )
+        self._compute_plan(build_cfg.granularity)

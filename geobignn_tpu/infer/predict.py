@@ -1,0 +1,220 @@
+"""Inference pipeline: submesh stitching, normal-field integration, export.
+
+Capability parity target: code/test_dual.py — per mesh: in-memory
+preprocessing, single- or multi-patch prediction with overlap averaging of
+vertex positions and re-normalized summed normals, denormalization, a
+60-iteration vertex re-projection onto the predicted normal field
+(`update_position2`, code/data_util.py:529-556), .obj export, and the two
+angular errors (angle1 vs predicted normals, angle2 vs normals recomputed
+from the updated vertices).
+
+Deliberate fix: overlap counters are int32 (the reference's int8 overflows
+past 127 overlapping patches, code/test_dual.py:49).
+
+TPU mapping: the 60-iteration loop is one jitted lax.fori_loop over dense
+padded vf tables (VPU-friendly); patch forwards share one compiled program
+via a merged SizePlan.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geobignn_tpu import geometry, meshio
+from geobignn_tpu.config import Config
+from geobignn_tpu.data import builder, dataset as ds_mod
+from geobignn_tpu.models import DualGNN, losses
+from geobignn_tpu.train import checkpoint as ckpt
+
+
+@partial(jax.jit, static_argnames=("n_iter", "use_depth"))
+def update_positions(
+    points: jax.Array,  # (N, 3)
+    fv_indices: jax.Array,  # (F, 3)
+    vf_indices: jax.Array,  # (N, K), -1 padded
+    face_normals: jax.Array,  # (F, 3)
+    n_iter: int = 60,
+    depth_direction: jax.Array | None = None,
+    use_depth: bool = False,
+) -> jax.Array:
+    """Iteratively move each vertex by the mean over adjacent faces of
+    ((c_f - v) . n_f) n_f — integrating the predicted normal field."""
+    n_faces = fv_indices.shape[0]
+    valid = vf_indices >= 0
+    v_adj = jnp.maximum(valid.sum(-1, keepdims=True), 1).astype(points.dtype)
+    vf_safe = jnp.where(valid, vf_indices, n_faces)
+    fn_ext = jnp.concatenate(
+        [face_normals, jnp.zeros((1, 3), face_normals.dtype)], axis=0
+    )
+    adj_n = fn_ext[vf_safe]  # (N, K, 3); zero rows for padding
+
+    def body(_, pts):
+        face_cent = pts[fv_indices].mean(axis=1)
+        fc_ext = jnp.concatenate([face_cent, jnp.zeros((1, 3), pts.dtype)], axis=0)
+        v_cx = fc_ext[vf_safe] - pts[:, None, :]
+        d = (adj_n * v_cx).sum(-1, keepdims=True)
+        move = (adj_n * d).sum(axis=1) / v_adj
+        if use_depth:
+            move = (move * depth_direction).sum(1, keepdims=True) * depth_direction
+        return pts + move
+
+    return jax.lax.fori_loop(0, n_iter, body, points)
+
+
+class Predictor:
+    """Loads a trained model and denoises meshes (whole or patch-stitched)."""
+
+    def __init__(self, cfg: Config, params, sub_size: int | None = None):
+        self.cfg = cfg
+        self.sub_size = sub_size or cfg.sub_size
+        self.model = DualGNN(
+            force_depth=cfg.force_depth, pool_type=cfg.pool_type, heads=cfg.heads
+        )
+        self.params = params
+        self._apply = jax.jit(self.model.apply)
+        self._plan_cache: dict = {}
+
+    @classmethod
+    def from_run(cls, run_dir: str, sub_size: int | None = None) -> "Predictor":
+        cfg = Config.from_json(os.path.join(run_dir, "params.json"))
+        path = os.path.join(run_dir, "ckpt_best.pkl")
+        if not os.path.exists(path):
+            path = os.path.join(run_dir, "ckpt_last.pkl")
+        params, _, _ = ckpt.load_checkpoint(path)
+        return cls(cfg, params, sub_size)
+
+    # ------------------------------------------------------------------
+    def predict_mesh(self, mesh_n: meshio.TriMesh):
+        """Returns (denoised positions before integration, face normals)."""
+        bc = self.cfg.build_config()
+        entries = ds_mod.process_one_mesh(mesh_n, self.sub_size, None, bc)
+
+        plan = None
+        for bv, bf, _, _, _ in entries:
+            p = builder.plan_for(bv, bf, bc.granularity)
+            plan = p if plan is None else plan.merge(p)
+
+        mem = ds_mod.InMemoryDataset.__new__(ds_mod.InMemoryDataset)
+        mem.entries = entries
+        mem.plan = plan
+
+        if len(entries) == 1:
+            sample = mem.get(0)
+            vert_p, norm_p = self._apply(self.params, sample)
+            nv, nf = mesh_n.n_vertices, mesh_n.n_faces
+            vp = np.asarray(vert_p)[:nv]
+            np_arr = np.asarray(norm_p)[:nf]
+        else:
+            # overlap-averaged stitching (int32 counters)
+            count_v = np.zeros((mesh_n.n_vertices, 1), dtype=np.int32)
+            vp = np.zeros((mesh_n.n_vertices, 3), dtype=np.float32)
+            np_arr = np.zeros((mesh_n.n_faces, 3), dtype=np.float32)
+            for i, (bv, bf, _, v_idx, f_idx) in enumerate(entries):
+                sample = mem.get(i)
+                vert_p, norm_p = self._apply(self.params, sample)
+                count_v[v_idx] += 1
+                vp[v_idx] += np.asarray(vert_p)[: bv.n_nodes]
+                np_arr[f_idx] += np.asarray(norm_p)[: bf.n_nodes]
+            vp /= np.maximum(count_v, 1)
+            norms = np.linalg.norm(np_arr, axis=1, keepdims=True)
+            np_arr /= np.maximum(norms, 1e-12)
+
+        meta = entries[0][2]
+        vp = vp / meta["scale"] + meta["centroid"]  # denormalize
+        return vp.astype(np.float32), np_arr.astype(np.float32)
+
+    def denoise(
+        self,
+        mesh_n: meshio.TriMesh,
+        n_update_iters: int = 60,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full pipeline: predict + integrate normals; returns (V, Np)."""
+        vp, np_arr = self.predict_mesh(mesh_n)
+        depth = None
+        use_depth = self.cfg.force_depth
+        if use_depth:
+            d = np.maximum(np.linalg.norm(mesh_n.points, axis=1, keepdims=True), 1e-12)
+            depth = jnp.asarray(mesh_n.points / d)
+        v = update_positions(
+            jnp.asarray(vp),
+            jnp.asarray(mesh_n.fv_indices),
+            jnp.asarray(mesh_n.vf_indices),
+            jnp.asarray(np_arr),
+            n_iter=n_update_iters,
+            depth_direction=depth,
+            use_depth=use_depth,
+        )
+        return np.asarray(v), np_arr
+
+
+def _angular_error(np_pred: np.ndarray, n_true: np.ndarray) -> float:
+    err = ((np_pred - n_true) ** 2).sum(1)
+    val = np.clip(1.0 - err / 2.0, -1.0, 1.0)
+    return float(np.degrees(np.arccos(val)).mean())
+
+
+def predict_dir(
+    run_dir: str,
+    data_dir: str | None = None,
+    dataset_root: str | None = None,
+    sub_size: int | None = None,
+    n_update_iters: int = 60,
+) -> dict:
+    """Denoise every test mesh of a run's data_type; writes `{name}-60.obj`
+    into `result_{flag}` and reports face-weighted angle1/angle2 means."""
+    pred = Predictor.from_run(run_dir, sub_size)
+    cfg = pred.cfg
+
+    pairs: list[tuple[str, str | None]] = []
+    if data_dir is None:
+        root = dataset_root or cfg.dataset_dir
+        data_dir = os.path.join(root, cfg.data_type, "test")
+        orig_dir = os.path.join(data_dir, "original")
+        for orig in sorted(glob.glob(os.path.join(orig_dir, "*.obj"))):
+            name = os.path.splitext(os.path.basename(orig))[0]
+            for noisy in sorted(
+                glob.glob(os.path.join(data_dir, "noisy", f"{name}_n*.obj"))
+            ):
+                pairs.append((noisy, orig))
+    else:
+        pairs = [(p, None) for p in sorted(glob.glob(os.path.join(data_dir, "*.obj")))]
+
+    result_dir = os.path.join(data_dir, f"result_{cfg.flag}")
+    os.makedirs(result_dir, exist_ok=True)
+
+    rows = []
+    for noisy_path, orig_path in pairs:
+        t0 = time.time()
+        mesh_n = meshio.read_obj(noisy_path)
+        v, np_arr = pred.denoise(mesh_n, n_update_iters)
+        base = os.path.splitext(os.path.basename(noisy_path))[0]
+        out_path = os.path.join(result_dir, f"{base}-{n_update_iters}.obj")
+        meshio.write_obj(out_path, v, mesh_n.fv_indices)
+
+        angle1 = angle2 = 0.0
+        if orig_path is not None:
+            mesh_o = meshio.read_obj(orig_path)
+            nt = geometry.face_normals_np(mesh_o.points, mesh_o.fv_indices)
+            angle1 = _angular_error(np_arr, nt)
+            np2 = geometry.face_normals_np(v, mesh_n.fv_indices)
+            angle2 = _angular_error(np2, nt)
+        dt = time.time() - t0
+        rows.append(dict(name=base, faces=mesh_n.n_faces, angle1=angle1,
+                         angle2=angle2, seconds=dt))
+        print(
+            f"angle1: {angle1:9.6f}  angle2: {angle2:9.6f}  "
+            f"faces: {mesh_n.n_faces:>6}  time: {dt:7.3f}s  '{base}'"
+        )
+
+    total_f = sum(r["faces"] for r in rows) or 1
+    mean1 = sum(r["faces"] * r["angle1"] for r in rows) / total_f
+    mean2 = sum(r["faces"] * r["angle2"] for r in rows) / total_f
+    print(f"Num_face: {total_f}, angle_mean1: {mean1:.6f}, angle_mean2: {mean2:.6f}")
+    return dict(rows=rows, angle_mean1=mean1, angle_mean2=mean2, result_dir=result_dir)

@@ -1,0 +1,280 @@
+"""Training driver: jitted grad/apply steps, accumulation, eval, schedules.
+
+Capability parity target: code/train_dual.py — per-sample forward, dual
+loss, gradient accumulation every `batch_size` steps, a full node-weighted
+eval pass each epoch, per-epoch LR scheduling (plateau keyed on the eval
+normal error), best-checkpoint on eval_error_f, run-dir artifacts (config
+JSON, code backup, metric stream, stdout tee), then chained inference.
+
+TPU re-design: one compiled grad step serves the whole run (shared
+SizePlan); augmentation happens on-device inside the jitted step; gradient
+accumulation is a device-resident tree-add (no host sync inside an
+accumulation window); throughput (edges/s) is measured and logged.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import random
+import shutil
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geobignn_tpu.config import Config
+from geobignn_tpu.data import augment
+from geobignn_tpu.models import DualGNN, losses
+from geobignn_tpu.train import checkpoint as ckpt
+from geobignn_tpu.train import optim
+from geobignn_tpu.train.logging import MetricLogger, Tee
+
+
+def _metrics_of(vert_p, norm_p, sample, cfg: Config):
+    mask_v = sample.v.levels[0].node_mask
+    mask_f = sample.f.levels[0].node_mask
+    lv = losses.loss_v(vert_p, sample.v.y, mask_v, cfg.loss_v)
+    ln = losses.loss_n(norm_p, sample.f.y, mask_f, cfg.loss_n)
+    loss = losses.dual_loss(lv, ln, cfg.loss_v_scale, cfg.loss_n_scale)
+    return loss, dict(
+        loss=loss,
+        loss_v=lv,
+        loss_f=ln,
+        error_v=losses.error_v(vert_p, sample.v.y, mask_v),
+        error_f=losses.error_n(norm_p, sample.f.y, mask_f),
+        n_v=mask_v.sum(),
+        n_f=mask_f.sum(),
+    )
+
+
+class Trainer:
+    """Single-chip trainer (multi-chip training goes through parallel.api)."""
+
+    def __init__(self, cfg: Config, train_ds, eval_ds=None, run_dir: str | None = None):
+        self.cfg = cfg
+        self.train_ds = train_ds
+        self.eval_ds = eval_ds
+        self.run_dir = run_dir
+        self.plan = train_ds.plan
+        if eval_ds is not None and eval_ds.plan is not None:
+            self.plan = self.plan.merge(eval_ds.plan)
+
+        self.model = DualGNN(
+            force_depth=cfg.force_depth, pool_type=cfg.pool_type, heads=cfg.heads
+        )
+        self.tx = optim.make_optimizer(cfg)
+
+        sample0 = train_ds.get(0, self.plan)
+        key = jax.random.PRNGKey(cfg.seed or 0)
+        self.params = self.model.init(key, sample0)
+        self.opt_state = self.tx.init(self.params)
+        self.epoch = 0
+        self.best_error = float("inf")
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        cfg, model = self.cfg, self.model
+
+        def grad_step(params, sample, rng, augment_on):
+            if augment_on:  # static (jit static_argnums)
+                sample = augment.random_rotate(sample, rng)
+
+            def loss_fn(p):
+                vert_p, norm_p = model.apply(p, sample)
+                return _metrics_of(vert_p, norm_p, sample, cfg)
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return grads, metrics
+
+        def acc_step(acc, grads):
+            return jax.tree.map(lambda a, b: a + b, acc, grads)
+
+        def apply_step(params, opt_state, grads, n_acc):
+            grads = jax.tree.map(lambda g: g / n_acc, grads)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state
+
+        def eval_step(params, sample):
+            vert_p, norm_p = model.apply(params, sample)
+            return _metrics_of(vert_p, norm_p, sample, cfg)[1]
+
+        self._grad = jax.jit(grad_step, static_argnums=(3,))
+        self._acc = jax.jit(acc_step)
+        self._apply = jax.jit(apply_step, donate_argnums=(0, 1))
+        self._eval = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, rng: np.random.Generator, logger: MetricLogger | None = None):
+        cfg = self.cfg
+        order = rng.permutation(len(self.train_ds))
+        acc = None
+        n_acc = 0
+        agg = {}
+        n_steps = 0
+        t0 = time.time()
+        for step, idx in enumerate(order):
+            sample = self.train_ds.get(int(idx), self.plan)
+            key = jax.random.PRNGKey(int(rng.integers(1 << 31)))
+            grads, metrics = self._grad(self.params, sample, key, cfg.augment)
+            acc = grads if acc is None else self._acc(acc, grads)
+            n_acc += 1
+            if n_acc == cfg.batch_size or step == len(order) - 1:
+                self.params, self.opt_state = self._apply(
+                    self.params, self.opt_state, acc, float(n_acc)
+                )
+                acc, n_acc = None, 0
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n_steps += 1
+        agg = {k: v / max(n_steps, 1) for k, v in agg.items()}
+        agg["samples_per_s"] = n_steps / max(time.time() - t0, 1e-9)
+        if logger:
+            logger.log("train", self.epoch, **agg)
+        return agg
+
+    def evaluate(self, logger: MetricLogger | None = None):
+        """Node-count-weighted eval means (reference train_dual.py:233-263)."""
+        if self.eval_ds is None or len(self.eval_ds) == 0:
+            return None
+        sums = dict(loss_v=0.0, loss_f=0.0, error_v=0.0, error_f=0.0)
+        cv = cf = 0.0
+        for i in range(len(self.eval_ds)):
+            m = self._eval(self.params, self.eval_ds.get(i, self.plan))
+            nv, nf = float(m["n_v"]), float(m["n_f"])
+            sums["loss_v"] += float(m["loss_v"]) * nv
+            sums["error_v"] += float(m["error_v"]) * nv
+            sums["loss_f"] += float(m["loss_f"]) * nf
+            sums["error_f"] += float(m["error_f"]) * nf
+            cv += nv
+            cf += nf
+        out = dict(
+            loss_v=sums["loss_v"] / cv,
+            error_v=sums["error_v"] / cv,
+            loss_f=sums["loss_f"] / cf,
+            error_f=sums["error_f"] / cf,
+        )
+        if logger:
+            logger.log("test", self.epoch, **out)
+        return out
+
+    # ------------------------------------------------------------------
+    def fit(self, logger: MetricLogger | None = None, on_epoch=None) -> float:
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed or 0)
+        plateau = (
+            optim.PlateauState(cfg.lr, cfg.lr_decay, cfg.lr_step[0])
+            if cfg.lr_sch == "auto"
+            else None
+        )
+        last_lr = cfg.lr
+        for self.epoch in range(self.epoch, cfg.max_epoch):
+            if plateau is None:
+                last_lr = optim.lr_at_epoch(cfg, self.epoch)
+            self.opt_state = optim.set_lr(self.opt_state, last_lr)
+
+            train_m = self.run_epoch(rng, logger)
+            eval_m = self.evaluate(logger)
+
+            key_err = (eval_m or train_m)["error_f"]
+            if plateau is not None:
+                last_lr = plateau.step(key_err)
+
+            if key_err < self.best_error:
+                self.best_error = key_err
+                if self.run_dir:
+                    ckpt.save_checkpoint(
+                        os.path.join(self.run_dir, "ckpt_best.pkl"),
+                        self.params,
+                        epoch=self.epoch,
+                        best_error=self.best_error,
+                    )
+            if self.run_dir:
+                ckpt.save_checkpoint(
+                    os.path.join(self.run_dir, "ckpt_last.pkl"),
+                    self.params,
+                    self.opt_state,
+                    epoch=self.epoch,
+                    best_error=self.best_error,
+                )
+            if on_epoch:
+                on_epoch(self, train_m, eval_m)
+        return self.best_error
+
+    def restore(self, path: str, with_opt: bool = True):
+        params, opt_state, scalars = ckpt.load_checkpoint(
+            path, self.params, self.opt_state if with_opt else None
+        )
+        self.params = params
+        if with_opt and opt_state is not None:
+            self.opt_state = opt_state
+        self.epoch = int(scalars.get("epoch", -1)) + 1
+        self.best_error = float(scalars.get("best_error", float("inf")))
+
+
+def make_run_dir(cfg: Config) -> str:
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    run_dir = os.path.join(
+        cfg.log_dir, f"GeoBi-GNN_{cfg.data_type}_{cfg.flag}", stamp
+    )
+    os.makedirs(run_dir, exist_ok=True)
+    return run_dir
+
+
+def train(cfg: Config, dataset_root: str | None = None) -> str:
+    """Full training entry: datasets from disk, run-dir artifacts, fit."""
+    import sys
+
+    from geobignn_tpu.data.dataset import DualDataset
+
+    if cfg.seed is None:
+        cfg.seed = random.randint(1, 10000)
+    random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+
+    run_dir = make_run_dir(cfg)
+    sys.stdout = Tee(os.path.join(run_dir, "training_info.txt"))
+    print(f"Training flag: {cfg.flag}  seed: {cfg.seed}\nrun_dir: {run_dir}")
+    cfg.to_json(os.path.join(run_dir, "params.json"))
+
+    # code snapshot for version-pinned inference (reference
+    # train_dual.py:131 / test_dual.py:127-128)
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shutil.copytree(
+        pkg_dir,
+        os.path.join(run_dir, "code_bak", "geobignn_tpu"),
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
+        dirs_exist_ok=True,
+    )
+
+    root = dataset_root or cfg.dataset_dir
+    bc = cfg.build_config()
+    train_ds = DualDataset(
+        root, cfg.data_type, "train", "train_list.txt",
+        cfg.filter_patch_count, cfg.sub_size, bc,
+    )
+    eval_ds = DualDataset(
+        root, cfg.data_type, "test", "test_list.txt", 0, cfg.sub_size, bc
+    )
+    print(f"Training set: {len(train_ds)} samples; eval: {len(eval_ds)}")
+
+    trainer = Trainer(cfg, train_ds, eval_ds, run_dir)
+    if cfg.restore and cfg.model_path:
+        trainer.restore(cfg.model_path)
+    logger = MetricLogger(os.path.join(run_dir, "metrics.jsonl"))
+
+    def report(tr, train_m, eval_m):
+        if tr.epoch % 10 == 0 or eval_m["error_f"] <= tr.best_error:
+            print(
+                f"Epoch {tr.epoch:>3}: loss {eval_m['loss_v']:.4f} "
+                f"{eval_m['loss_f']:.4f} | error {eval_m['error_v']:.4f} "
+                f"{eval_m['error_f']:.4f}"
+            )
+
+    best = trainer.fit(logger, report)
+    print(f"best error: {best}")
+    logger.close()
+    return run_dir

@@ -1,0 +1,95 @@
+"""Visualization utilities (headless-friendly).
+
+Capability parity target: the reference's mayavi/networkx debug plotting
+(code/data_util.py:87-177, code/plot_graph.py) and its colored-error mesh
+exporters (`normal_error_obj`, code/data_util.py:682-718).  Re-based on
+matplotlib (Agg) for graph/mesh snapshots plus pure-.off exporters with
+vertex/face colors — viewable in any mesh viewer, no GUI stack needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_graph(node_pos, edge_index, edge_values=None, path="graph.png"):
+    """3D scatter + line-segment plot of a graph; saves a PNG."""
+    plt = _mpl()
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    p = np.asarray(node_pos)
+    e = np.asarray(edge_index)
+    if e.shape[0] == 2:
+        e = e.T
+    segs = p[e]  # (E, 2, 3)
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+    colors = None
+    if edge_values is not None:
+        v = np.asarray(edge_values, dtype=float)
+        v = (v - v.min()) / max(v.max() - v.min(), 1e-12)
+        colors = plt.cm.viridis(v)
+    ax.add_collection3d(Line3DCollection(segs, colors=colors, linewidths=0.5))
+    ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=2, c="k")
+    ax.set_box_aspect((1, 1, 1))
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def plot_mesh(points, fv_indices, path="mesh.png"):
+    plt = _mpl()
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    p = np.asarray(points)
+    ax.plot_trisurf(
+        p[:, 0], p[:, 1], p[:, 2], triangles=np.asarray(fv_indices),
+        linewidth=0.1, edgecolor="gray", alpha=0.9,
+    )
+    ax.set_box_aspect((1, 1, 1))
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def write_off_face_colors(path, points, fv_indices, face_values, cmap="jet"):
+    """Export a mesh with per-face scalar colors as .off (error heatmaps —
+    the reference's normal_error_obj capability)."""
+    import matplotlib.cm as cm
+
+    v = np.asarray(face_values, dtype=float)
+    v = (v - v.min()) / max(v.max() - v.min(), 1e-12)
+    rgba = getattr(cm, cmap)(v) if hasattr(cm, cmap) else cm.get_cmap(cmap)(v)
+    p = np.asarray(points)
+    f = np.asarray(fv_indices)
+    with open(path, "w") as fh:
+        fh.write("OFF\n")
+        fh.write(f"{len(p)} {len(f)} 0\n")
+        for q in p:
+            fh.write(f"{q[0]:.8g} {q[1]:.8g} {q[2]:.8g}\n")
+        for face, c in zip(f, rgba):
+            fh.write(
+                f"3 {face[0]} {face[1]} {face[2]} "
+                f"{c[0]:.4f} {c[1]:.4f} {c[2]:.4f} {c[3]:.4f}\n"
+            )
+    return path
+
+
+def normal_error_heatmap(path, mesh_result, mesh_original):
+    """Color each face of the result by its angular normal error (deg)."""
+    from geobignn_tpu import geometry
+
+    nr = geometry.face_normals_np(mesh_result.points, mesh_result.fv_indices)
+    no = geometry.face_normals_np(mesh_original.points, mesh_original.fv_indices)
+    err = ((nr - no) ** 2).sum(1)
+    ang = np.degrees(np.arccos(np.clip(1 - err / 2, -1, 1)))
+    return write_off_face_colors(path, mesh_result.points, mesh_result.fv_indices, ang)
