@@ -137,6 +137,12 @@ def grow_patch(
     (the reference walks scalar Python loops).  Returns face ids in
     visit order."""
     assert max_faces is not None or max_rings is not None
+    from geobignn_tpu import native
+
+    if native.HAS_NATIVE:
+        return native.grow_patch(
+            fv_indices, vf_indices, int(seed_face), max_faces, max_rings
+        )
     n_faces = fv_indices.shape[0]
     cap = n_faces if max_faces is None else min(max_faces, n_faces)
     rings = np.inf if max_rings is None else max_rings

@@ -72,8 +72,16 @@ def read_obj(path: str) -> TriMesh:
     """Parse a Wavefront .obj triangle mesh (v / f records only).
 
     Handles `f i j k`, `f i/t j/t k/t`, `f i/t/n ...` and negative (relative)
-    indices.  Faces with >3 corners are fan-triangulated.
+    indices.  Faces with >3 corners are fan-triangulated.  Uses the native
+    C parser (native/meshkernel.cpp) when built; this Python path is the
+    semantic reference and fallback.
     """
+    from geobignn_tpu import native
+
+    if native.HAS_NATIVE:
+        arrays = native.read_obj_arrays(path)
+        if arrays is not None:
+            return TriMesh(*arrays)
     verts: list[tuple[float, float, float]] = []
     faces: list[tuple[int, int, int]] = []
     with open(path, "r", encoding="utf-8", errors="replace") as fh:

@@ -42,6 +42,7 @@ def greedy_matching(
     weight: np.ndarray | None,
     n_nodes: int,
     seed: int = 0,
+    visit_order: np.ndarray | None = None,
 ) -> np.ndarray:
     """Seeded greedy heavy-edge matching -> consecutive cluster ids (n,).
 
@@ -49,12 +50,35 @@ def greedy_matching(
     heaviest unmatched neighbour (random neighbour when weight is None),
     else stays a singleton.  Same policy as graclus but deterministic under
     the seed.  Cluster ids are relabelled consecutively in order of first
-    appearance by node index (the reference's `consecutive_cluster`)."""
+    appearance by node index (the reference's `consecutive_cluster`).
+
+    Dispatches to the C++ kernel (native/meshkernel.cpp) when built (~13x
+    faster at 40k nodes).  Given the same `visit_order`, the native and
+    python paths are bit-identical (pinned by tests/test_native.py); when
+    the order is drawn implicitly the two paths use different seeded
+    shuffles, so clusterings are deterministic per path but not across
+    paths."""
+    from geobignn_tpu import native
+
+    ptr, col, perm = _csr(edge_index, n_nodes)
+    w = None if weight is None else weight[perm]
+    if visit_order is None:
+        if native.HAS_NATIVE:
+            visit_order = native.permutation(n_nodes, seed)
+        else:
+            visit_order = np.random.default_rng(seed).permutation(n_nodes)
+    if native.HAS_NATIVE and weight is not None:
+        match = native.greedy_matching_csr(ptr, col, w, visit_order)
+    else:
+        match = _greedy_matching_py(ptr, col, w, visit_order, n_nodes, seed)
+    uniq, cluster = np.unique(match, return_inverse=True)
+    return cluster.astype(np.int64)
+
+
+def _greedy_matching_py(ptr, col, w, order, n_nodes, seed) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    ptr, col, order = _csr(edge_index, n_nodes)
-    w = None if weight is None else weight[order]
     match = np.full(n_nodes, -1, dtype=np.int64)
-    for i in rng.permutation(n_nodes):
+    for i in order:
         if match[i] >= 0:
             continue
         beg, end = ptr[i], ptr[i + 1]
@@ -70,9 +94,7 @@ def greedy_matching(
             cw = w[beg:end][free & (nbrs != i)]
             j = cand[np.argmax(cw)]
         match[i] = match[j] = min(i, j)
-    # consecutive relabel in node-index order
-    uniq, cluster = np.unique(match, return_inverse=True)
-    return cluster.astype(np.int64)
+    return match
 
 
 def coalesce_edges_np(
