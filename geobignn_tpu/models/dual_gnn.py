@@ -41,6 +41,8 @@ class FeaStConv(nn.Module):
     c_out: int
     heads: int = 9
     gp_axis: str | None = None  # edge-partition mesh axis (graph parallel)
+    remat: bool = True  # recompute gathers in backward (AD residuals of the
+    # per-conv (E, C) gathered features otherwise dominate HBM on big meshes)
 
     @nn.compact
     def __call__(self, x: jax.Array, level: GraphLevel) -> jax.Array:
@@ -53,11 +55,17 @@ class FeaStConv(nn.Module):
         b = self.param("b", nn.initializers.zeros, (self.c_out,))
         p = FeastParams(u=u.astype(x.dtype), c=c.astype(x.dtype),
                         w=w.astype(x.dtype), b=b.astype(x.dtype))
-        return feast_conv(
-            p, x, level.edge_index,
-            deg=None if self.gp_axis else level.deg.astype(x.dtype),
-            psum_axis=self.gp_axis,
-        )
+
+        def conv(p_, x_):
+            return feast_conv(
+                p_, x_, level.edge_index,
+                deg=None if self.gp_axis else level.deg.astype(x.dtype),
+                psum_axis=self.gp_axis,
+            )
+
+        if self.remat:
+            conv = jax.checkpoint(conv)
+        return conv(p, x)
 
 
 def pool_features(

@@ -24,7 +24,12 @@ def masked_mean(per_node: jax.Array, mask: jax.Array) -> jax.Array:
     return (per_node * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
-def loss_v(vp, v, mask, dis: str = "L1"):
+def loss_v(vp, v, mask, dis: str = "L1", apply_icp: bool = False):
+    if apply_icp:  # rigid prealignment before the distance (reference
+        # network.py:364-367, pytorch3d ICP)
+        from geobignn_tpu.utils import icp_align
+
+        vp, _, _ = icp_align(vp, v, mask, mask)
     if dis == "L1":
         per = jnp.abs(vp - v).sum(axis=1)
     elif dis == "L2":
@@ -36,14 +41,38 @@ def loss_v(vp, v, mask, dis: str = "L1"):
     return masked_mean(per, mask)
 
 
-def loss_n(np_, n, mask, norm: str = "L1"):
+def loss_n(np_, n, mask, norm: str = "L1", fc_p=None, fc=None):
     if norm == "L1":
         per = jnp.abs(np_ - n).sum(axis=1)
     elif norm == "L2":
         per = ((np_ - n) ** 2).sum(axis=1)
+    elif norm == "sided":
+        # match each predicted face (by centroid) to its nearest GT face and
+        # compare normals there (reference network.py:385-388, kaolin
+        # sided_distance)
+        idx = nearest_index(fc_p, fc, mask)
+        per = jnp.abs(np_ - n[idx]).sum(axis=1)
     else:
         raise ValueError(f"unknown normal loss '{norm}'")
     return masked_mean(per, mask)
+
+
+def nearest_index(a, b, mask_b=None, block: int = 1024):
+    """Per-point index of the nearest valid point of b (tiled)."""
+    if mask_b is None:
+        mask_b = jnp.ones(b.shape[0], a.dtype)
+    nb2 = (b**2).sum(axis=1)
+    penal = jnp.where(mask_b > 0, 0.0, jnp.asarray(1e30, a.dtype))
+    n = a.shape[0]
+    pad = (-n) % block
+    a_pad = jnp.pad(a, ((0, pad), (0, 0)))
+
+    def one_block(blk):
+        d = (blk**2).sum(1, keepdims=True) - 2.0 * blk @ b.T + nb2[None, :]
+        return jnp.argmin(d + penal[None, :], axis=1)
+
+    out = jax.lax.map(one_block, a_pad.reshape(-1, block, a.shape[1]))
+    return out.reshape(-1)[:n]
 
 
 def dual_loss(lv, ln, v_scale=1.0, n_scale=1.0, alpha=None):
@@ -108,8 +137,32 @@ def _nearest_sq(a, b, mask_b, block: int):
     return jnp.maximum(out[:n], 0.0)
 
 
-def nearest_distance(a, b, block: int = 1024):
-    """Unmasked nearest-neighbour Euclidean distances a->b (the evaluation
-    kernel; reference: numba-parallel my_hausdorff.py:17-49)."""
-    mask_b = jnp.ones(b.shape[0], a.dtype)
-    return jnp.sqrt(_nearest_sq(a, b, mask_b, block))
+def nearest_distance(a, b, block: int = 1024, metric: str = "euclidean"):
+    """Nearest-neighbour distances a->b, tiled (the evaluation kernel;
+    reference: numba-parallel my_hausdorff.py:17-49 over the `hausdorff`
+    package's metric set — euclidean/manhattan/chebyshev/cosine here)."""
+    if metric == "euclidean":
+        mask_b = jnp.ones(b.shape[0], a.dtype)
+        return jnp.sqrt(_nearest_sq(a, b, mask_b, block))
+
+    n = a.shape[0]
+    pad = (-n) % block
+    a_pad = jnp.pad(a, ((0, pad), (0, 0)))
+
+    if metric == "manhattan":
+        pair = lambda blk: jnp.abs(blk[:, None, :] - b[None, :, :]).sum(-1)
+    elif metric == "chebyshev":
+        pair = lambda blk: jnp.abs(blk[:, None, :] - b[None, :, :]).max(-1)
+    elif metric == "cosine":
+        bn = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+
+        def pair(blk):
+            an = blk / jnp.maximum(jnp.linalg.norm(blk, axis=1, keepdims=True), 1e-12)
+            return 1.0 - an @ bn.T
+
+    else:
+        raise ValueError(f"unknown metric '{metric}'")
+
+    out = jax.lax.map(lambda blk: pair(blk).min(axis=1),
+                      a_pad.reshape(-1, block, a.shape[1]))
+    return out.reshape(-1)[:n]

@@ -80,10 +80,20 @@ def feast_conv(
     if deg is None or psum_axis is not None:
         deg = segment.segment_count(row, n, dtype=x.dtype)
 
-    out = jnp.zeros((n, params.w.shape[-1]), dtype=x.dtype)
-    for h in range(heads):  # static unroll; per-head mul fuses into scatter
-        z_h = segment.segment_sum(q[:, h : h + 1] * x_j, row, n)
-        out = out + jnp.dot(z_h, params.w[h], preferred_element_type=x.dtype)
+    # scan over heads: only ONE (E, C_in) weighted-gather intermediate is
+    # live at a time (an unrolled loop kept all H of them resident — 9x the
+    # activation memory, OOM on >300k-face meshes)
+    def one_head(w_h, q_h):
+        z = segment.segment_sum(q_h[:, None] * x_j, row, n)
+        return jnp.dot(z, w_h, preferred_element_type=x.dtype)
+
+    def head_body(acc, wq):
+        return acc + one_head(*wq), None
+
+    # head 0 seeds the carry so its varying-axes type matches the body's in
+    # any shard_map context (a zeros init would need manual pcasts)
+    out0 = one_head(params.w[0], q[:, 0])
+    out, _ = jax.lax.scan(head_body, out0, (params.w[1:], q[:, 1:].T))
 
     if psum_axis is not None:  # combine edge-shard partials
         packed = jnp.concatenate([out, deg[:, None]], axis=1)

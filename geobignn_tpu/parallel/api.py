@@ -88,26 +88,40 @@ def dual_loss_and_metrics(model, params, sample: DualSample, cfg) -> tuple:
 
 
 def make_sharded_train_step(
-    model, tx, mesh: Mesh, batched_sample: DualSample, loss_cfg: dict | None = None
+    model,
+    tx,
+    mesh: Mesh,
+    batched_sample: DualSample,
+    loss_cfg: dict | None = None,
+    augment: bool = False,
 ) -> Callable:
     """Build the jitted SPMD train step for a given batch structure.
 
     model must be constructed with gp_axis="gp".  The step consumes the
     full stacked batch (B divisible by dp), runs grad accumulation over the
     local per-chip micro-batch via lax.scan, pmeans over "dp", and applies
-    one optimizer update.  Returns step(params, opt_state, batch) ->
-    (params, opt_state, metrics)."""
+    one optimizer update.  Returns step(params, opt_state, batch, rng) ->
+    (params, opt_state, metrics).  With augment=True each sample gets an
+    independent on-device random SO(3) rotation derived from rng."""
+    from geobignn_tpu.data import augment as aug
+
     cfg = loss_cfg or {}
     specs = batch_pspecs(batched_sample)
 
-    def local_step(params, opt_state, batch):
+    def local_step(params, opt_state, batch, rng):
+        rank = jax.lax.axis_index("dp")
+
         def loss_fn(p, sample):
             return dual_loss_and_metrics(model, p, sample, cfg)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        def body(carry, sample):
+        def body(carry, inp):
             g_acc, m_acc = carry
+            i, sample = inp
+            if augment:
+                key = jax.random.fold_in(jax.random.fold_in(rng, rank), i)
+                sample = aug.random_rotate(sample, key)
             (_, m), g = grad_fn(params, sample)
             g_acc = jax.tree.map(lambda a, b: a + b, g_acc, g)
             m_acc = jax.tree.map(lambda a, b: a + b, m_acc, m)
@@ -122,7 +136,9 @@ def make_sharded_train_step(
         zeros_m = vary({
             k: jax.numpy.zeros(()) for k in ["loss", "loss_v", "loss_f", "error_v", "error_f"]
         })
-        (grads, metrics), _ = jax.lax.scan(body, (zeros_g, zeros_m), batch)
+        b_len = jax.tree.leaves(batch)[0].shape[0]
+        idxs = jax.numpy.arange(b_len)
+        (grads, metrics), _ = jax.lax.scan(body, (zeros_g, zeros_m), (idxs, batch))
 
         # check_vma's transpose of the params pcast already psums grads over
         # the mesh axes, so every dp rank holds the GLOBAL gradient sum; the
@@ -142,7 +158,7 @@ def make_sharded_train_step(
     sharded = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), specs),
+        in_specs=(P(), P(), specs, P()),
         out_specs=(P(), P(), P()),
         check_vma=True,  # varying-axes tracking inserts the gp backward psums
     )

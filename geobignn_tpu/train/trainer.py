@@ -74,6 +74,28 @@ class Trainer:
         self.best_error = float("inf")
         self._build_steps()
 
+        # multi-chip SPMD path: dp x gp mesh, stacked global batch per step
+        self._sharded_step = None
+        self.n_chips = cfg.dp * cfg.gp
+        if self.n_chips > 1:
+            from geobignn_tpu import parallel
+
+            self._mesh = parallel.make_mesh(cfg.dp, cfg.gp)
+            model_sh = DualGNN(
+                force_depth=cfg.force_depth, pool_type=cfg.pool_type,
+                heads=cfg.heads, gp_axis="gp",
+            )
+            self._global_batch = cfg.dp * cfg.batch_size
+            batch0 = parallel.stack_samples(
+                [sample0] * self._global_batch
+            )
+            self._sharded_step = parallel.make_sharded_train_step(
+                model_sh, self.tx, self._mesh, batch0,
+                dict(loss_v=cfg.loss_v, loss_n=cfg.loss_n,
+                     loss_v_scale=cfg.loss_v_scale, loss_n_scale=cfg.loss_n_scale),
+                augment=cfg.augment,
+            )
+
     # ------------------------------------------------------------------
     def _build_steps(self):
         cfg, model = self.cfg, self.model
@@ -109,6 +131,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def run_epoch(self, rng: np.random.Generator, logger: MetricLogger | None = None):
+        if self._sharded_step is not None:
+            return self._run_epoch_sharded(rng, logger)
         cfg = self.cfg
         order = rng.permutation(len(self.train_ds))
         acc = None
@@ -132,6 +156,35 @@ class Trainer:
             n_steps += 1
         agg = {k: v / max(n_steps, 1) for k, v in agg.items()}
         agg["samples_per_s"] = n_steps / max(time.time() - t0, 1e-9)
+        if logger:
+            logger.log("train", self.epoch, **agg)
+        return agg
+
+    def _run_epoch_sharded(self, rng: np.random.Generator, logger=None):
+        """One epoch on the dp x gp mesh: global batches of dp*batch_size
+        samples, short tail chunks wrap around (sampled with replacement)."""
+        from geobignn_tpu import parallel
+
+        order = rng.permutation(len(self.train_ds)).tolist()
+        b = self._global_batch
+        agg, n_steps = {}, 0
+        t0 = time.time()
+        for beg in range(0, len(order), b):
+            chunk = order[beg : beg + b]
+            while len(chunk) < b:  # wrap-around fill
+                chunk.append(order[(beg + len(chunk)) % len(order)])
+            batch = parallel.stack_samples(
+                [self.train_ds.get(int(i), self.plan) for i in chunk]
+            )
+            key = jax.random.PRNGKey(int(rng.integers(1 << 31)))
+            self.params, self.opt_state, metrics = self._sharded_step(
+                self.params, self.opt_state, batch, key
+            )
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n_steps += 1
+        agg = {k: v / max(n_steps, 1) for k, v in agg.items()}
+        agg["samples_per_s"] = n_steps * b / max(time.time() - t0, 1e-9)
         if logger:
             logger.log("train", self.epoch, **agg)
         return agg

@@ -1,0 +1,96 @@
+"""Small math utilities.
+
+Capability parity targets:
+  * batch quaternion -> rotation matrix (code/net_util.py:14-42)
+  * iterative closest point prealignment — the reference optionally ICP-
+    aligns predictions before the vertex loss via pytorch3d
+    (code/network.py:14-17,364-367); here a self-contained SVD-based
+    rigid ICP in JAX.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def batch_quat_to_rotmat(q: jax.Array, normalize: bool = True) -> jax.Array:
+    """(B, 4) quaternions -> (B, 3, 3) rotation matrices."""
+    s = 2.0 / (q * q).sum(-1) if normalize else jnp.full(q.shape[:1], 2.0)
+    h = jnp.einsum("bi,bj->bij", q, q)  # Hamilton product coefficients
+    w, x, y, z = 0, 1, 2, 3
+    r = jnp.stack(
+        [
+            1 - (h[:, y, y] + h[:, z, z]) * s,
+            (h[:, x, y] - h[:, z, w]) * s,
+            (h[:, x, z] + h[:, y, w]) * s,
+            (h[:, x, y] + h[:, z, w]) * s,
+            1 - (h[:, x, x] + h[:, z, z]) * s,
+            (h[:, y, z] - h[:, x, w]) * s,
+            (h[:, x, z] - h[:, y, w]) * s,
+            (h[:, y, z] + h[:, x, w]) * s,
+            1 - (h[:, x, x] + h[:, y, y]) * s,
+        ],
+        axis=-1,
+    )
+    return r.reshape(-1, 3, 3)
+
+
+def _rigid_align(src, dst, weights):
+    """Weighted Kabsch: best R, t mapping src -> dst."""
+    wsum = jnp.maximum(weights.sum(), 1e-12)
+    mu_s = (src * weights[:, None]).sum(0) / wsum
+    mu_d = (dst * weights[:, None]).sum(0) / wsum
+    a = (src - mu_s) * weights[:, None]
+    b = dst - mu_d
+    h = a.T @ b
+    u, _, vt = jnp.linalg.svd(h)
+    d = jnp.sign(jnp.linalg.det(vt.T @ u.T))  # reflection guard
+    s = jnp.diag(jnp.stack([jnp.ones(()), jnp.ones(()), d]))
+    r = vt.T @ s @ u.T
+    t = mu_d - r @ mu_s
+    return r, t
+
+
+@partial(jax.jit, static_argnames=("n_iters", "block"))
+def icp_align(
+    src: jax.Array,
+    dst: jax.Array,
+    mask_src: jax.Array | None = None,
+    mask_dst: jax.Array | None = None,
+    n_iters: int = 10,
+    block: int = 1024,
+):
+    """Rigid ICP: returns (aligned_src, R, t) such that aligned = src@R.T+t.
+
+    Nearest-neighbour correspondences recomputed each iteration with the
+    tiled distance kernel (O(block*N) memory)."""
+    ms = jnp.ones(src.shape[0]) if mask_src is None else mask_src
+    md = jnp.ones(dst.shape[0]) if mask_dst is None else mask_dst
+    penal = jnp.where(md > 0, 0.0, 1e30)
+    nd2 = (dst**2).sum(1)
+
+    def nearest_idx(pts):
+        n = pts.shape[0]
+        pad = (-n) % block
+        p = jnp.pad(pts, ((0, pad), (0, 0)))
+
+        def one(blk):
+            d = (blk**2).sum(1, keepdims=True) - 2.0 * blk @ dst.T + nd2[None, :]
+            return jnp.argmin(d + penal[None, :], axis=1)
+
+        return jax.lax.map(one, p.reshape(-1, block, 3)).reshape(-1)[:n]
+
+    def body(_, state):
+        r, t = state
+        cur = src @ r.T + t
+        idx = nearest_idx(cur)
+        r2, t2 = _rigid_align(src, dst[idx], ms)
+        return r2, t2
+
+    r0 = jnp.eye(3)
+    t0 = jnp.zeros(3)
+    r, t = jax.lax.fori_loop(0, n_iters, body, (r0, t0))
+    return src @ r.T + t, r, t

@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geobignn_tpu import graphs
+from geobignn_tpu.data import synth
+from geobignn_tpu.data.builder import BuildConfig, build_dual_sample
+from geobignn_tpu.ops.coalesce import coalesce_edges
+from geobignn_tpu.ops.matching import parallel_matching, pool_edges_with_rep
+from geobignn_tpu.pool.dynamic import DualGNNDynamic
+
+
+def test_coalesce_edges_static_shape():
+    # duplicates (0,1)x2 + self loop (2,2) + trash padding (4,4)
+    ei = jnp.array([[0, 0, 1, 2, 4, 4], [1, 1, 0, 2, 4, 4]], dtype=jnp.int32)
+    w = jnp.array([1.0, 3.0, 5.0, 7.0, 0.0, 0.0])
+    out_ei, out_w = coalesce_edges(ei, w, 5)
+    assert out_ei.shape == ei.shape
+    rows = np.asarray(out_ei).T.tolist()
+    assert [0, 1] in rows and [1, 0] in rows
+    assert [2, 2] not in rows  # real self loop removed
+    d = {tuple(r): float(v) for r, v in zip(rows, np.asarray(out_w))}
+    assert d[(0, 1)] == pytest.approx(2.0)  # mean of 1 and 3
+    assert d[(1, 0)] == pytest.approx(5.0)
+    # padding slots are (4,4) with zero weight
+    assert rows.count([4, 4]) == 4
+
+
+def _mesh_edges(subdiv=2, pad=0):
+    m = synth.add_noise(synth.icosphere(subdiv), 0.2, seed=0)
+    ei = graphs.build_vertex_graph_1ring(m.ev_indices, m.n_vertices)
+    _, w = graphs.weighted_graph(ei, m.n_vertices, m.points,
+                                 np.ones_like(m.points))
+    n_pad = m.n_vertices + pad + 1
+    trash = n_pad - 1
+    e_pad = ei.shape[1] + 8
+    ei_p = np.full((2, e_pad), trash, np.int32)
+    ei_p[:, : ei.shape[1]] = ei
+    w_p = np.zeros(e_pad, np.float32)
+    w_p[: ei.shape[1]] = w
+    return m, jnp.asarray(ei_p), jnp.asarray(w_p), n_pad
+
+
+def test_parallel_matching_is_matching():
+    m, ei, w, n_pad = _mesh_edges()
+    rep = parallel_matching(ei, w, n_pad)
+    rep = np.asarray(rep)
+    n = m.n_vertices
+    # a matching: every representative has at most 2 members
+    _, counts = np.unique(rep[:n], return_counts=True)
+    assert counts.max() <= 2
+    # rep is idempotent (rep[rep] == rep)
+    np.testing.assert_array_equal(rep[rep[:n]], rep[:n])
+    # high match rate on a mesh graph
+    assert (counts == 2).sum() * 2 >= 0.7 * n
+    # deterministic
+    rep2 = np.asarray(parallel_matching(ei, w, n_pad))
+    np.testing.assert_array_equal(rep, rep2)
+
+
+def test_parallel_matching_prefers_heavy_edges():
+    # path graph 0-1-2 with w(0,1)=10, w(1,2)=0.1 -> 1 must pair with 0
+    ei = jnp.array([[0, 1, 1, 2, 3], [1, 0, 2, 1, 3]], dtype=jnp.int32)
+    w = jnp.array([10.0, 10.0, 0.1, 0.1, 0.0])
+    rep = np.asarray(parallel_matching(ei, w, 4, rounds=4))
+    assert rep[0] == rep[1] == 0
+    assert rep[2] == 2  # singleton
+
+
+def test_pool_edges_with_rep_collapses():
+    m, ei, w, n_pad = _mesh_edges()
+    rep = parallel_matching(ei, w, n_pad)
+    ei2, w2 = pool_edges_with_rep(ei, w, rep, n_pad)
+    r = np.asarray(ei2)
+    trash = n_pad - 1
+    real = r[0] != r[1]
+    # all real edges connect representative slots
+    rep_np = np.asarray(rep)
+    assert (rep_np[r[0][real]] == r[0][real]).all()
+    # no duplicates among real edges
+    keys = r[0][real].astype(np.int64) * n_pad + r[1][real]
+    assert len(np.unique(keys)) == keys.size
+    # coarse graph has fewer real edges
+    assert real.sum() < (np.asarray(ei)[0] != np.asarray(ei)[1]).sum()
+
+
+@pytest.mark.parametrize("wt", [0, 10, 4])
+def test_dynamic_dual_gnn_forward_and_grads(wt):
+    m_o = synth.icosphere(2)
+    m_n = synth.add_noise(m_o, 0.2, seed=3)
+    sample, _ = build_dual_sample(m_n, m_o, BuildConfig(granularity=64))
+    model = DualGNNDynamic(edge_weight_type=wt)
+    params = model.init(jax.random.PRNGKey(0), sample)
+    vert_p, norm_p = jax.jit(model.apply)(params, sample)
+    assert bool(jnp.isfinite(vert_p).all() and jnp.isfinite(norm_p).all())
+    if wt in (3, 4, 5):  # learned pooling params exist
+        assert "att_l" in str(jax.tree_util.tree_structure(params))
+
+    def loss(p):
+        v, n = model.apply(p, sample)
+        mask_v = sample.v.levels[0].node_mask
+        return (jnp.abs(v - sample.v.y).sum(1) * mask_v).sum()
+
+    g = jax.grad(loss)(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+    gmax = max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g))
+    assert gmax > 0

@@ -51,7 +51,8 @@ def test_sharded_step_matches_single_device(batch):
     opt_state = tx.init(params)
 
     step = parallel.make_sharded_train_step(model_sh, tx, mesh, stacked)
-    p_sh, _, metrics = step(params, opt_state, stacked)
+    import jax as _jax
+    p_sh, _, metrics = step(params, opt_state, stacked, _jax.random.PRNGKey(0))
 
     # reference: average grads over the 2 samples, one sgd update
     def loss_fn(p, s):
