@@ -58,6 +58,7 @@ class Config:
 
     # TPU-native extras
     augment: bool = True  # random SO(3) rotation during training
+    preload: bool = True  # cache padded samples on device (fits small corpora)
     granularity: int = 128
     dp: int = 1
     gp: int = 1

@@ -90,6 +90,85 @@ def grid_patch(nx: int = 16, ny: int = 16) -> TriMesh:
     return TriMesh(pts.astype(np.float32), np.asarray(quads, dtype=np.int32))
 
 
+def torus(n_major: int = 48, n_minor: int = 24, r_major: float = 1.0, r_minor: float = 0.35) -> TriMesh:
+    """Torus — smooth genus-1 benchmark surface."""
+    i, j = np.meshgrid(np.arange(n_major), np.arange(n_minor), indexing="ij")
+    u = 2 * np.pi * i / n_major
+    v = 2 * np.pi * j / n_minor
+    x = (r_major + r_minor * np.cos(v)) * np.cos(u)
+    y = (r_major + r_minor * np.cos(v)) * np.sin(u)
+    z = r_minor * np.sin(v)
+    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    faces = []
+    for a in range(n_major):
+        for b in range(n_minor):
+            p00 = a * n_minor + b
+            p10 = ((a + 1) % n_major) * n_minor + b
+            p01 = a * n_minor + (b + 1) % n_minor
+            p11 = ((a + 1) % n_major) * n_minor + (b + 1) % n_minor
+            faces += [[p00, p10, p11], [p00, p11, p01]]
+    return TriMesh(pts.astype(np.float32), np.asarray(faces, np.int32))
+
+
+def cube(n: int = 12) -> TriMesh:
+    """Axis-aligned cube with n x n grid per side — sharp-feature (CAD-like)
+    benchmark in the spirit of the CNR Synthetic corpus' Cube/Block."""
+    verts: dict[tuple, int] = {}
+    pts: list[tuple] = []
+
+    def vid(p):
+        key = tuple(np.round(p, 9))
+        if key not in verts:
+            verts[key] = len(pts)
+            pts.append(key)
+        return verts[key]
+
+    faces = []
+    g = np.linspace(-1.0, 1.0, n + 1)
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            for i in range(n):
+                for j in range(n):
+                    quad = []
+                    for (di, dj) in ((0, 0), (1, 0), (1, 1), (0, 1)):
+                        p = [0.0, 0.0, 0.0]
+                        p[axis] = sign
+                        p[(axis + 1) % 3] = g[i + di]
+                        p[(axis + 2) % 3] = g[j + dj]
+                        quad.append(vid(p))
+                    if sign > 0:
+                        faces += [[quad[0], quad[1], quad[2]], [quad[0], quad[2], quad[3]]]
+                    else:
+                        faces += [[quad[0], quad[2], quad[1]], [quad[0], quad[3], quad[2]]]
+    return TriMesh(np.asarray(pts, np.float32), np.asarray(faces, np.int32))
+
+
+def cylinder(n_seg: int = 48, n_height: int = 24, radius: float = 0.5, height: float = 2.0) -> TriMesh:
+    """Closed cylinder — mixed smooth/sharp benchmark surface."""
+    pts = []
+    for k in range(n_height + 1):
+        z = height * (k / n_height - 0.5)
+        for s in range(n_seg):
+            a = 2 * np.pi * s / n_seg
+            pts.append((radius * np.cos(a), radius * np.sin(a), z))
+    top = len(pts)
+    pts.append((0.0, 0.0, height / 2))
+    bot = len(pts)
+    pts.append((0.0, 0.0, -height / 2))
+    faces = []
+    for k in range(n_height):
+        for s in range(n_seg):
+            p00 = k * n_seg + s
+            p01 = k * n_seg + (s + 1) % n_seg
+            p10 = (k + 1) * n_seg + s
+            p11 = (k + 1) * n_seg + (s + 1) % n_seg
+            faces += [[p00, p01, p11], [p00, p11, p10]]
+    for s in range(n_seg):
+        faces.append([top, n_height * n_seg + s, n_height * n_seg + (s + 1) % n_seg])
+        faces.append([bot, (s + 1) % n_seg, s])
+    return TriMesh(np.asarray(pts, np.float32), np.asarray(faces, np.int32))
+
+
 def add_noise(
     mesh: TriMesh, sigma_ratio: float = 0.2, seed: int = 0
 ) -> TriMesh:

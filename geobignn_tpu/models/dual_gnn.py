@@ -57,11 +57,18 @@ class FeaStConv(nn.Module):
                         w=w.astype(x.dtype), b=b.astype(x.dtype))
 
         def conv(p_, x_):
-            return feast_conv(
+            out = feast_conv(
                 p_, x_, level.edge_index,
                 deg=None if self.gp_axis else level.deg.astype(x.dtype),
                 psum_axis=self.gp_axis,
             )
+            # restore the zero-trash invariant: the bias/self terms make
+            # padded lanes nonzero, and the trash lane would otherwise
+            # accumulate ALL padded (trash->trash) edges with deg 0 —
+            # an unnormalized sum that amplifies ~E_pad per conv and
+            # overflows f32 within a few layers (masked losses then see
+            # 0 * inf = NaN)
+            return out * level.node_mask.astype(out.dtype)[:, None]
 
         if self.remat:
             conv = jax.checkpoint(conv)

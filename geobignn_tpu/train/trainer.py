@@ -72,6 +72,7 @@ class Trainer:
         self.opt_state = self.tx.init(self.params)
         self.epoch = 0
         self.best_error = float("inf")
+        self._cache: dict = {}
         self._build_steps()
 
         # multi-chip SPMD path: dp x gp mesh, stacked global batch per step
@@ -141,7 +142,7 @@ class Trainer:
         n_steps = 0
         t0 = time.time()
         for step, idx in enumerate(order):
-            sample = self.train_ds.get(int(idx), self.plan)
+            sample = self._get(self.train_ds, "t", int(idx))
             key = jax.random.PRNGKey(int(rng.integers(1 << 31)))
             grads, metrics = self._grad(self.params, sample, key, cfg.augment)
             acc = grads if acc is None else self._acc(acc, grads)
@@ -159,6 +160,17 @@ class Trainer:
         if logger:
             logger.log("train", self.epoch, **agg)
         return agg
+
+    def _get(self, ds, tag: str, idx: int):
+        """Padded sample, device-cached when cfg.preload (host padding and
+        H2D transfer dominate step time otherwise — the device step itself
+        is sub-millisecond)."""
+        if not self.cfg.preload:
+            return ds.get(idx, self.plan)
+        key = (tag, idx)
+        if key not in self._cache:
+            self._cache[key] = jax.device_put(ds.get(idx, self.plan))
+        return self._cache[key]
 
     def _run_epoch_sharded(self, rng: np.random.Generator, logger=None):
         """One epoch on the dp x gp mesh: global batches of dp*batch_size
@@ -196,7 +208,7 @@ class Trainer:
         sums = dict(loss_v=0.0, loss_f=0.0, error_v=0.0, error_f=0.0)
         cv = cf = 0.0
         for i in range(len(self.eval_ds)):
-            m = self._eval(self.params, self.eval_ds.get(i, self.plan))
+            m = self._eval(self.params, self._get(self.eval_ds, "e", i))
             nv, nf = float(m["n_v"]), float(m["n_f"])
             sums["loss_v"] += float(m["loss_v"]) * nv
             sums["error_v"] += float(m["error_v"]) * nv

@@ -138,3 +138,21 @@ def test_chamfer_and_nearest():
         a, b, jnp.ones(2), jnp.array([1.0, 1.0, 0.0]), block=2
     )
     assert float(cd) == pytest.approx(0.25 / 2 + 0.25 / 2, abs=1e-6)
+
+
+def test_trash_lane_stays_zero(model_out):
+    """Regression: padded lanes (incl. the trash slot) must come out of the
+    U-Net as exact zeros — a nonzero trash feature gets amplified by the
+    thousands of padded trash->trash edges (deg 0) and overflows f32 after
+    a few training steps (the NaN-at-step-9 bug)."""
+    sample, plan, model, params, vert_p, norm_p = model_out
+    import flax.linen as fnn
+
+    _, state = model.apply(params, sample, capture_intermediates=True)
+    inter = state["intermediates"]
+    feat_v = inter["gnn_v"]["__call__"][0]
+    mask = np.asarray(sample.v.levels[0].node_mask)
+    assert np.abs(np.asarray(feat_v)[mask == 0]).max() == 0.0
+    feat_f = inter["gnn_f"]["__call__"][0]
+    mask_f = np.asarray(sample.f.levels[0].node_mask)
+    assert np.abs(np.asarray(feat_f)[mask_f == 0]).max() == 0.0
