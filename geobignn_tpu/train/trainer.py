@@ -125,10 +125,22 @@ class Trainer:
             vert_p, norm_p = model.apply(params, sample)
             return _metrics_of(vert_p, norm_p, sample, cfg)[1]
 
+        def fused_step(params, opt_state, m_acc, sample, rng, augment_on):
+            """grad + update + metric accumulation in ONE dispatch — per-step
+            host syncs over a tunneled TPU otherwise dominate wall time."""
+            grads, metrics = grad_step(params, sample, rng, augment_on)
+            params, opt_state = apply_step(params, opt_state, grads, 1.0)
+            m_acc = jax.tree.map(lambda a, b: a + b, m_acc, metrics)
+            return params, opt_state, m_acc
+
         self._grad = jax.jit(grad_step, static_argnums=(3,))
         self._acc = jax.jit(acc_step)
         self._apply = jax.jit(apply_step, donate_argnums=(0, 1))
+        self._fused = jax.jit(fused_step, static_argnums=(5,), donate_argnums=(0, 1, 2))
         self._eval = jax.jit(eval_step)
+        self._metric_keys = (
+            "loss", "loss_v", "loss_f", "error_v", "error_f", "n_v", "n_f"
+        )
 
     # ------------------------------------------------------------------
     def run_epoch(self, rng: np.random.Generator, logger: MetricLogger | None = None):
@@ -136,26 +148,37 @@ class Trainer:
             return self._run_epoch_sharded(rng, logger)
         cfg = self.cfg
         order = rng.permutation(len(self.train_ds))
-        acc = None
-        n_acc = 0
-        agg = {}
+        # fresh accumulators each epoch — the fused step DONATES them
+        m_acc = {k: jnp.zeros(()) for k in self._metric_keys}
         n_steps = 0
         t0 = time.time()
-        for step, idx in enumerate(order):
-            sample = self._get(self.train_ds, "t", int(idx))
-            key = jax.random.PRNGKey(int(rng.integers(1 << 31)))
-            grads, metrics = self._grad(self.params, sample, key, cfg.augment)
-            acc = grads if acc is None else self._acc(acc, grads)
-            n_acc += 1
-            if n_acc == cfg.batch_size or step == len(order) - 1:
-                self.params, self.opt_state = self._apply(
-                    self.params, self.opt_state, acc, float(n_acc)
+        if cfg.batch_size == 1:
+            # fast path: one dispatch per step, zero host syncs in the loop
+            for idx in order:
+                sample = self._get(self.train_ds, "t", int(idx))
+                key = jax.random.PRNGKey(int(rng.integers(1 << 31)))
+                self.params, self.opt_state, m_acc = self._fused(
+                    self.params, self.opt_state, m_acc, sample, key, cfg.augment
                 )
-                acc, n_acc = None, 0
-            for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-            n_steps += 1
-        agg = {k: v / max(n_steps, 1) for k, v in agg.items()}
+                n_steps += 1
+        else:
+            acc = None
+            n_acc = 0
+            for step, idx in enumerate(order):
+                sample = self._get(self.train_ds, "t", int(idx))
+                key = jax.random.PRNGKey(int(rng.integers(1 << 31)))
+                grads, metrics = self._grad(self.params, sample, key, cfg.augment)
+                acc = grads if acc is None else self._acc(acc, grads)
+                n_acc += 1
+                if n_acc == cfg.batch_size or step == len(order) - 1:
+                    self.params, self.opt_state = self._apply(
+                        self.params, self.opt_state, acc, float(n_acc)
+                    )
+                    acc, n_acc = None, 0
+                m_acc = jax.tree.map(lambda a, b: a + b, m_acc, metrics)
+                n_steps += 1
+        jax.block_until_ready(self.params)
+        agg = {k: float(v) / max(n_steps, 1) for k, v in m_acc.items()}
         agg["samples_per_s"] = n_steps / max(time.time() - t0, 1e-9)
         if logger:
             logger.log("train", self.epoch, **agg)
@@ -205,22 +228,25 @@ class Trainer:
         """Node-count-weighted eval means (reference train_dual.py:233-263)."""
         if self.eval_ds is None or len(self.eval_ds) == 0:
             return None
-        sums = dict(loss_v=0.0, loss_f=0.0, error_v=0.0, error_f=0.0)
-        cv = cf = 0.0
+        # accumulate node-weighted sums on device; sync once at the end
+        sums = {k: jnp.zeros(()) for k in ("loss_v", "loss_f", "error_v", "error_f", "n_v", "n_f")}
         for i in range(len(self.eval_ds)):
             m = self._eval(self.params, self._get(self.eval_ds, "e", i))
-            nv, nf = float(m["n_v"]), float(m["n_f"])
-            sums["loss_v"] += float(m["loss_v"]) * nv
-            sums["error_v"] += float(m["error_v"]) * nv
-            sums["loss_f"] += float(m["loss_f"]) * nf
-            sums["error_f"] += float(m["error_f"]) * nf
-            cv += nv
-            cf += nf
+            w = dict(
+                loss_v=m["loss_v"] * m["n_v"],
+                error_v=m["error_v"] * m["n_v"],
+                loss_f=m["loss_f"] * m["n_f"],
+                error_f=m["error_f"] * m["n_f"],
+                n_v=m["n_v"],
+                n_f=m["n_f"],
+            )
+            sums = jax.tree.map(lambda a, b: a + b, sums, w)
+        cv, cf = float(sums["n_v"]), float(sums["n_f"])
         out = dict(
-            loss_v=sums["loss_v"] / cv,
-            error_v=sums["error_v"] / cv,
-            loss_f=sums["loss_f"] / cf,
-            error_f=sums["error_f"] / cf,
+            loss_v=float(sums["loss_v"]) / cv,
+            error_v=float(sums["error_v"]) / cv,
+            loss_f=float(sums["loss_f"]) / cf,
+            error_f=float(sums["error_f"]) / cf,
         )
         if logger:
             logger.log("test", self.epoch, **out)
