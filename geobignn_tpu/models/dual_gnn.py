@@ -96,9 +96,11 @@ class GNNModule(nn.Module):
     pool_type: str = "max"
     heads: int = 9
     gp_axis: str | None = None
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, branch: BranchGraph, x: jax.Array) -> jax.Array:
+        x = x.astype(self.compute_dtype)
         l1, l2, l3 = branch.levels
         act = lambda v: nn.leaky_relu(v, LEAKY_SLOPE)
 
@@ -127,31 +129,35 @@ class DualGNN(nn.Module):
     pool_type: str = "max"
     heads: int = 9
     gp_axis: str | None = None
+    compute_dtype: jnp.dtype = jnp.float32  # bf16 activations; f32 params,
+    # residual/geometry (cross products, normalize) and losses stay f32
 
     @nn.compact
     def __call__(self, sample: DualSample) -> tuple[jax.Array, jax.Array]:
         act = lambda v: nn.leaky_relu(v, LEAKY_SLOPE)
+        dt = self.compute_dtype
         xyz = sample.v.x[:, :3]
 
-        feat_v = GNNModule(self.pool_type, self.heads, self.gp_axis, name="gnn_v")(
-            sample.v, sample.v.x
-        )
-        h = act(nn.Dense(1024, name="fc_v1")(feat_v))
+        feat_v = GNNModule(
+            self.pool_type, self.heads, self.gp_axis, dt, name="gnn_v"
+        )(sample.v, sample.v.x)
+        h = act(nn.Dense(1024, dtype=dt, name="fc_v1")(feat_v))
         out_dim = 1 if self.force_depth else 3
-        d = nn.Dense(out_dim, name="fc_v2")(h)
+        d = nn.Dense(out_dim, dtype=dt, name="fc_v2")(h).astype(jnp.float32)
         if self.force_depth:
             d = d * sample.v.depth_direction
         vert_p = d + xyz
 
-        # rebuild facet features from the denoised vertices (differentiable)
+        # rebuild facet features from the denoised vertices (differentiable,
+        # f32 — cross products are cancellation-sensitive)
         face_cent = vert_p[sample.fv_indices].mean(axis=1)
         face_norm = geometry.face_normals(vert_p, sample.fv_indices)
         x_f = jnp.concatenate([sample.f.x, face_cent, face_norm], axis=1)
 
-        feat_f = GNNModule(self.pool_type, self.heads, self.gp_axis, name="gnn_f")(
-            sample.f, x_f
-        )
-        h = act(nn.Dense(1024, name="fc_f1")(feat_f))
-        n = nn.Dense(3, name="fc_f2")(h)
+        feat_f = GNNModule(
+            self.pool_type, self.heads, self.gp_axis, dt, name="gnn_f"
+        )(sample.f, x_f)
+        h = act(nn.Dense(1024, dtype=dt, name="fc_f1")(feat_f))
+        n = nn.Dense(3, dtype=dt, name="fc_f2")(h).astype(jnp.float32)
         norm_p = geometry.safe_normalize(n)
         return vert_p, norm_p

@@ -62,7 +62,8 @@ class Trainer:
             self.plan = self.plan.merge(eval_ds.plan)
 
         self.model = DualGNN(
-            force_depth=cfg.force_depth, pool_type=cfg.pool_type, heads=cfg.heads
+            force_depth=cfg.force_depth, pool_type=cfg.pool_type, heads=cfg.heads,
+            compute_dtype=jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32,
         )
         self.tx = optim.make_optimizer(cfg)
 

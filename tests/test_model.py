@@ -156,3 +156,20 @@ def test_trash_lane_stays_zero(model_out):
     feat_f = inter["gnn_f"]["__call__"][0]
     mask_f = np.asarray(sample.f.levels[0].node_mask)
     assert np.abs(np.asarray(feat_f)[mask_f == 0]).max() == 0.0
+
+
+def test_bf16_compute_mode(sample_and_plan):
+    """bf16 activations produce finite outputs close to the f32 path."""
+    sample, plan = sample_and_plan
+    f32 = DualGNN()
+    bf16 = DualGNN(compute_dtype=jnp.bfloat16)
+    params = f32.init(jax.random.PRNGKey(0), sample)
+    v32, n32 = f32.apply(params, sample)
+    v16, n16 = bf16.apply(params, sample)
+    assert v16.dtype == jnp.float32  # outputs cast back
+    assert bool(jnp.isfinite(v16).all() and jnp.isfinite(n16).all())
+    mask = np.asarray(sample.v.levels[0].node_mask) > 0
+    # positions are residual (input + small delta): absolute agreement
+    np.testing.assert_allclose(
+        np.asarray(v16)[mask], np.asarray(v32)[mask], atol=0.05
+    )
