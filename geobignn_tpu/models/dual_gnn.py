@@ -130,7 +130,11 @@ class DualGNN(nn.Module):
     heads: int = 9
     gp_axis: str | None = None
     compute_dtype: jnp.dtype = jnp.float32  # bf16 activations; f32 params,
-    # residual/geometry (cross products, normalize) and losses stay f32
+    # residual/geometry (cross products, normalize) and losses stay f32.
+    # NOTE (measured on v5e): keep the default — XLA's bf16 scatter-add path
+    # is pathologically slow (3.3 s/step vs 0.98 ms at f32), and f32 matmuls
+    # already ride bf16 MXU passes, so bf16 activations buy nothing here.
+    # The mode exists for numerics experiments, not throughput.
 
     @nn.compact
     def __call__(self, sample: DualSample) -> tuple[jax.Array, jax.Array]:

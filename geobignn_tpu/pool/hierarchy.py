@@ -143,6 +143,8 @@ class PoolLevelSpec:
     edge_index: np.ndarray
     edge_weight: np.ndarray | None
     n_out: int
+    owner_out: np.ndarray | None = None  # per-coarse-node chip id when
+    # matching was partition-constrained
 
 
 def build_pool_level(
@@ -156,19 +158,36 @@ def build_pool_level(
     wei_param: float = 2.0,
     pool_type: str = "max",
     seed: int = 0,
+    owner: np.ndarray | None = None,
 ) -> PoolLevelSpec:
     """Run `pool_step` matching rounds from one graph level to the next.
 
     The affinity is evaluated once before the rounds (as in the reference,
-    code/net_util.py:80) and carried through coalescing between rounds."""
+    code/net_util.py:80) and carried through coalescing between rounds.
+
+    `owner` (chip id per node) constrains matching to stay WITHIN a
+    partition — coarse nodes then inherit a unique owner, which keeps the
+    whole hierarchy local under halo-sharded execution (cross-partition
+    edges still survive into the coarse graphs; only merges are local)."""
     w = ew.compute_edge_weight(weight_type, edge_index, stored_weight, x, wei_param)
     ei = edge_index
     clusters, sizes = [], []
     n = n_nodes
     xs = x
+    own = owner
     for k in range(pool_step):
-        cluster = greedy_matching(ei, w, n, seed=seed + k)
+        if own is not None:
+            keep = own[ei[0]] == own[ei[1]]
+            cluster = greedy_matching(
+                ei[:, keep], None if w is None else w[keep], n, seed=seed + k
+            )
+        else:
+            cluster = greedy_matching(ei, w, n, seed=seed + k)
         clusters.append(cluster)
+        if own is not None:  # representative inherits the (unique) owner
+            new_own = np.zeros(int(cluster.max()) + 1, dtype=own.dtype)
+            new_own[cluster] = own
+            own = new_own
         ei, w, n = pool_graph_np(cluster, ei, w)
         sizes.append(n)
         if xs is not None:
@@ -185,6 +204,7 @@ def build_pool_level(
         edge_index=ei.astype(np.int32),
         edge_weight=w,
         n_out=n,
+        owner_out=own,
     )
 
 
@@ -212,18 +232,21 @@ def build_hierarchy(
     wei_param: float = 2.0,
     pool_type: str = "max",
     seed: int = 0,
+    owner: np.ndarray | None = None,
 ) -> list[PoolLevelSpec]:
     """The full per-branch hierarchy: `n_levels` PoolLevelSpecs (the two
     PoolingLayers of a GNNModule).  Activation-dependent weight types use
-    the input features `x`, pooled along the way, as proxy (module doc)."""
+    the input features `x`, pooled along the way, as proxy (module doc).
+    `owner` constrains every level's matching within partitions."""
     specs = []
     ei, w, n, xs = edge_index, stored_weight, n_nodes, x
     for lvl in range(n_levels):
         spec = build_pool_level(
             ei, w, xs, n,
             pool_step=pool_step, weight_type=weight_type, wei_param=wei_param,
-            pool_type=pool_type, seed=seed + 1000 * lvl,
+            pool_type=pool_type, seed=seed + 1000 * lvl, owner=owner,
         )
+        owner = spec.owner_out
         specs.append(spec)
         ei, w, n = spec.edge_index, spec.edge_weight, spec.n_out
         if xs is not None:

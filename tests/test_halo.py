@@ -86,3 +86,27 @@ def test_halo_feast_conv_matches_unsharded(mesh_graph):
     )
     got = hp.unshard_features(np.asarray(out_loc), sh, n)
     np.testing.assert_allclose(got, np.asarray(ref), atol=2e-5)
+
+
+def test_partition_constrained_hierarchy(mesh_graph):
+    """Matching never crosses partitions; coarse owners are well-defined."""
+    from geobignn_tpu.pool.hierarchy import build_hierarchy
+
+    m, ei, w = mesh_graph
+    n = m.n_vertices
+    owner = hp.partition_nodes(ei, n, 4, seed=3)
+    specs = build_hierarchy(ei, w, None, n, weight_type=0, owner=owner)
+    own = owner
+    for spec in specs:
+        for cl in spec.step_clusters:
+            # every cluster's members share one owner
+            for c in range(int(cl.max()) + 1):
+                members = np.where(cl == c)[0]
+                assert len(set(own[members].tolist())) == 1
+            new_own = np.zeros(int(cl.max()) + 1, dtype=own.dtype)
+            new_own[cl] = own
+            own = new_own
+        assert spec.owner_out is not None
+        np.testing.assert_array_equal(spec.owner_out, own)
+    # still coarsens decently despite the constraint
+    assert specs[1].n_out < 0.45 * n
