@@ -21,10 +21,20 @@ import sys
 
 
 def _apply_extras(cfg_dict: dict, extras: list[str]) -> dict:
+    import dataclasses
+
+    from geobignn_tpu.config import Config
+
+    known = {f.name for f in dataclasses.fields(Config)}
     for arg in extras:
         if not arg.startswith("--") or "=" not in arg:
             raise SystemExit(f"unrecognized argument: {arg}")
         k, v = arg[2:].split("=", 1)
+        if k not in known:
+            raise SystemExit(
+                f"unknown config key '--{k}' (typo?); valid keys: "
+                + ", ".join(sorted(known))
+            )
         try:
             cfg_dict[k] = json.loads(v)
         except json.JSONDecodeError:

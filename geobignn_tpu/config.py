@@ -59,6 +59,9 @@ class Config:
     # TPU-native extras
     augment: bool = True  # random SO(3) rotation during training
     preload: bool = True  # cache padded samples on device (fits small corpora)
+    preprocess_seed: int = 0  # hierarchy-matching seed; FIXED by default so
+    # the content-hash preprocessing cache hits across runs (the training
+    # seed must not leak into cache keys)
     granularity: int = 128
     dp: int = 1
     gp: int = 1
@@ -81,7 +84,7 @@ class Config:
             pool_type=self.pool_type,
             with_depth=self.force_depth,
             granularity=self.granularity,
-            seed=0 if self.seed is None else self.seed,
+            seed=self.preprocess_seed,
         )
 
     def loss_cfg(self) -> dict:

@@ -61,18 +61,7 @@ def nearest_index(a, b, mask_b=None, block: int = 1024):
     """Per-point index of the nearest valid point of b (tiled)."""
     if mask_b is None:
         mask_b = jnp.ones(b.shape[0], a.dtype)
-    nb2 = (b**2).sum(axis=1)
-    penal = jnp.where(mask_b > 0, 0.0, jnp.asarray(1e30, a.dtype))
-    n = a.shape[0]
-    pad = (-n) % block
-    a_pad = jnp.pad(a, ((0, pad), (0, 0)))
-
-    def one_block(blk):
-        d = (blk**2).sum(1, keepdims=True) - 2.0 * blk @ b.T + nb2[None, :]
-        return jnp.argmin(d + penal[None, :], axis=1)
-
-    out = jax.lax.map(one_block, a_pad.reshape(-1, block, a.shape[1]))
-    return out.reshape(-1)[:n]
+    return _tiled_nearest(a, b, mask_b, block)[1]
 
 
 def dual_loss(lv, ln, v_scale=1.0, n_scale=1.0, alpha=None):
@@ -118,23 +107,28 @@ def chamfer_distance(a, b, mask_a, mask_b, block: int = 1024):
     return masked_mean(d_ab, mask_a) + masked_mean(d_ba, mask_b)
 
 
-def _nearest_sq(a, b, mask_b, block: int):
-    """Per-point squared distance to the nearest valid point of b."""
+def _tiled_nearest(a, b, mask_b, block: int):
+    """Shared tiled brute-force kernel: per point of `a`, the (squared
+    distance, index) of the nearest VALID point of b.  O(block * M) memory;
+    the single implementation behind _nearest_sq / nearest_index /
+    utils.icp_align."""
     nb2 = (b**2).sum(axis=1)
-    big = jnp.asarray(1e30, a.dtype)
-    penal = jnp.where(mask_b > 0, 0.0, big)
-
+    penal = jnp.where(mask_b > 0, 0.0, jnp.asarray(1e30, a.dtype))
     n = a.shape[0]
     pad = (-n) % block
     a_pad = jnp.pad(a, ((0, pad), (0, 0)))
 
     def one_block(blk):
         d = (blk**2).sum(1, keepdims=True) - 2.0 * blk @ b.T + nb2[None, :]
-        return (d + penal[None, :]).min(axis=1)
+        d = d + penal[None, :]
+        return d.min(axis=1), jnp.argmin(d, axis=1)
 
-    blocks = a_pad.reshape(-1, block, a.shape[1])
-    out = jax.lax.map(one_block, blocks).reshape(-1)
-    return jnp.maximum(out[:n], 0.0)
+    d2, idx = jax.lax.map(one_block, a_pad.reshape(-1, block, a.shape[1]))
+    return jnp.maximum(d2.reshape(-1)[:n], 0.0), idx.reshape(-1)[:n]
+
+
+def _nearest_sq(a, b, mask_b, block: int):
+    return _tiled_nearest(a, b, mask_b, block)[0]
 
 
 def nearest_distance(a, b, block: int = 1024, metric: str = "euclidean"):

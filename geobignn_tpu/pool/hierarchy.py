@@ -173,7 +173,6 @@ def build_pool_level(
     ei = edge_index
     clusters, sizes = [], []
     n = n_nodes
-    xs = x
     own = owner
     for k in range(pool_step):
         if own is not None:
@@ -190,10 +189,14 @@ def build_pool_level(
             own = new_own
         ei, w, n = pool_graph_np(cluster, ei, w)
         sizes.append(n)
-        if xs is not None:
-            xs = _pool_features_np(xs, cluster, n, pool_type)
         if ei.shape[1] == 0:
             break
+    # edgeless early exit: pad to `pool_step` rounds with identity clusters
+    # so downstream consumers (builder/_pad_branch, cache serialization) see
+    # a uniform step count (tiny meshes coarsen to singletons quickly)
+    while len(clusters) < pool_step:
+        clusters.append(np.arange(n, dtype=np.int64))
+        sizes.append(n)
     unpool = clusters[0]
     for c in clusters[1:]:
         unpool = c[unpool]

@@ -52,7 +52,10 @@ def set_lr(opt_state, lr: float):
             s.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=old.dtype)
             return s
         if isinstance(s, tuple) and not hasattr(s, "hyperparams"):
-            return type(s)(*[rec(x) for x in s])
+            items = [rec(x) for x in s]
+            # NamedTuples unpack positionally; plain tuples (optax.chain
+            # states) take a single iterable
+            return type(s)(*items) if hasattr(s, "_fields") else tuple(items)
         return s
 
     return rec(opt_state)

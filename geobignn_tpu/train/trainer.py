@@ -36,7 +36,11 @@ def _metrics_of(vert_p, norm_p, sample, cfg: Config):
     mask_v = sample.v.levels[0].node_mask
     mask_f = sample.f.levels[0].node_mask
     lv = losses.loss_v(vert_p, sample.v.y, mask_v, cfg.loss_v)
-    ln = losses.loss_n(norm_p, sample.f.y, mask_f, cfg.loss_n)
+    fc_p = fc = None
+    if cfg.loss_n == "sided":  # nearest-face matching needs face centroids
+        fc_p = vert_p[sample.fv_indices].mean(axis=1)
+        fc = sample.v.y[sample.fv_indices].mean(axis=1)
+    ln = losses.loss_n(norm_p, sample.f.y, mask_f, cfg.loss_n, fc_p, fc)
     loss = losses.dual_loss(lv, ln, cfg.loss_v_scale, cfg.loss_n_scale)
     return loss, dict(
         loss=loss,
@@ -73,6 +77,7 @@ class Trainer:
         self.opt_state = self.tx.init(self.params)
         self.epoch = 0
         self.best_error = float("inf")
+        self._restored_plateau = None
         self._cache: dict = {}
         self._build_steps()
 
@@ -86,6 +91,7 @@ class Trainer:
             model_sh = DualGNN(
                 force_depth=cfg.force_depth, pool_type=cfg.pool_type,
                 heads=cfg.heads, gp_axis="gp",
+                compute_dtype=self.model.compute_dtype,
             )
             self._global_batch = cfg.dp * cfg.batch_size
             batch0 = parallel.stack_samples(
@@ -262,7 +268,10 @@ class Trainer:
             if cfg.lr_sch == "auto"
             else None
         )
-        last_lr = cfg.lr
+        if plateau is not None and self._restored_plateau:
+            for k, v in self._restored_plateau.items():
+                setattr(plateau, k, v)
+        last_lr = plateau.lr if plateau is not None else cfg.lr
         for self.epoch in range(self.epoch, cfg.max_epoch):
             if plateau is None:
                 last_lr = optim.lr_at_epoch(cfg, self.epoch)
@@ -285,12 +294,15 @@ class Trainer:
                         best_error=self.best_error,
                     )
             if self.run_dir:
+                import dataclasses as _dc
+
                 ckpt.save_checkpoint(
                     os.path.join(self.run_dir, "ckpt_last.pkl"),
                     self.params,
                     self.opt_state,
                     epoch=self.epoch,
                     best_error=self.best_error,
+                    plateau=None if plateau is None else _dc.asdict(plateau),
                 )
             if on_epoch:
                 on_epoch(self, train_m, eval_m)
@@ -305,6 +317,7 @@ class Trainer:
             self.opt_state = opt_state
         self.epoch = int(scalars.get("epoch", -1)) + 1
         self.best_error = float(scalars.get("best_error", float("inf")))
+        self._restored_plateau = scalars.get("plateau")
 
 
 def make_run_dir(cfg: Config) -> str:
@@ -359,11 +372,12 @@ def train(cfg: Config, dataset_root: str | None = None) -> str:
     logger = MetricLogger(os.path.join(run_dir, "metrics.jsonl"))
 
     def report(tr, train_m, eval_m):
-        if tr.epoch % 10 == 0 or eval_m["error_f"] <= tr.best_error:
+        m = eval_m or train_m  # eval split may be empty
+        if tr.epoch % 10 == 0 or m["error_f"] <= tr.best_error:
             print(
-                f"Epoch {tr.epoch:>3}: loss {eval_m['loss_v']:.4f} "
-                f"{eval_m['loss_f']:.4f} | error {eval_m['error_v']:.4f} "
-                f"{eval_m['error_f']:.4f}"
+                f"Epoch {tr.epoch:>3}: loss {m['loss_v']:.4f} "
+                f"{m['loss_f']:.4f} | error {m['error_v']:.4f} "
+                f"{m['error_f']:.4f}"
             )
 
     best = trainer.fit(logger, report)

@@ -67,21 +67,13 @@ def icp_align(
 
     Nearest-neighbour correspondences recomputed each iteration with the
     tiled distance kernel (O(block*N) memory)."""
+    from geobignn_tpu.models.losses import nearest_index
+
     ms = jnp.ones(src.shape[0]) if mask_src is None else mask_src
     md = jnp.ones(dst.shape[0]) if mask_dst is None else mask_dst
-    penal = jnp.where(md > 0, 0.0, 1e30)
-    nd2 = (dst**2).sum(1)
 
     def nearest_idx(pts):
-        n = pts.shape[0]
-        pad = (-n) % block
-        p = jnp.pad(pts, ((0, pad), (0, 0)))
-
-        def one(blk):
-            d = (blk**2).sum(1, keepdims=True) - 2.0 * blk @ dst.T + nd2[None, :]
-            return jnp.argmin(d + penal[None, :], axis=1)
-
-        return jax.lax.map(one, p.reshape(-1, block, 3)).reshape(-1)[:n]
+        return nearest_index(pts, dst, md, block)
 
     def body(_, state):
         r, t = state
