@@ -106,11 +106,6 @@ class TorchDualGNN(torch.nn.Module):
 
 
 def branch_to_torch(b):
-    def lvl(ei):
-        ei_t = torch.from_numpy(np.asarray(ei)).long()
-        deg = torch.zeros(0)
-        return ei_t
-
     levels = []
     sizes = [b.n_nodes] + [s.n_out for s in b.specs]
     eis = [b.edge_index] + [s.edge_index for s in b.specs]

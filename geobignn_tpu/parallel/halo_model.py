@@ -1,0 +1,168 @@
+"""Halo-sharded graph U-Net: the full multi-level model over node shards.
+
+Extends parallel/partition.py (single-conv halo exchange) to the whole
+GNNModule: with partition-constrained pooling hierarchies
+(pool/hierarchy.py `owner=`), every cluster lives on one chip, so pooling
+and unpooling are purely local gathers/scatters in per-chip slot space;
+only the convolutions exchange halos (one all_to_all per conv per level).
+
+Communication per forward: 8 convs x one boundary all_to_all whose payload
+is the per-level halo size — O(cut size), vs O(N) for the replicated-node
+psum mode in parallel/api.py.
+
+`build_halo_branch` precomputes the per-chip structure from an
+owner-constrained hierarchy; `halo_gnn_module` consumes the SAME parameter
+pytree as models.GNNModule (exact-parity test: tests/test_halo_model.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from geobignn_tpu.parallel import partition as hp
+from geobignn_tpu.pool.hierarchy import PoolLevelSpec
+
+
+@dataclasses.dataclass
+class HaloBranch:
+    """Per-chip (leading axis P) multi-level halo structure."""
+
+    levels: list[hp.HaloSharding]  # 3 levels
+    clusters_loc: list[np.ndarray]  # 4 x (P, n_loc_in) -> local coarse slot
+    unpool1_loc: np.ndarray  # (P, n_loc_l1) -> local level-2 slot
+    unpool2_loc: np.ndarray  # (P, n_loc_l2) -> local level-3 slot
+
+
+def _localize_map(
+    global_map: np.ndarray,  # fine global id -> coarse global id
+    sh_in: hp.HaloSharding,
+    sh_out: hp.HaloSharding,
+) -> np.ndarray:
+    """Per-chip local index map: fine local slot -> coarse local slot.
+    Requires owner(fine) == owner(coarse) (partition-constrained)."""
+    p = sh_in.n_parts
+    out = np.full((p, sh_in.n_loc), sh_out.n_loc - 1, dtype=np.int32)
+    assert (sh_out.owner[global_map] == sh_in.owner).all(), "cluster crosses partitions"
+    out[sh_in.owner, sh_in.slot_of] = sh_out.slot_of[global_map]
+    return out
+
+
+def build_halo_branch(
+    edge_index: np.ndarray,
+    edge_weight: np.ndarray | None,
+    n_nodes: int,
+    specs: list[PoolLevelSpec],
+    owner: np.ndarray,
+    granularity: int = 8,
+) -> HaloBranch:
+    """specs must come from build_hierarchy(..., owner=owner)."""
+    sh1 = hp.build_halo_sharding(edge_index, edge_weight, n_nodes, owner, granularity)
+    s1, s2 = specs
+    assert s1.owner_out is not None and s2.owner_out is not None
+
+    # intermediate shardings after each matching round (edges only needed at
+    # conv levels; intermediates just need slot spaces for the scatter)
+    own_m1 = np.zeros(s1.step_sizes[0], dtype=owner.dtype)
+    own_m1[s1.step_clusters[0]] = owner
+    sh_m1 = hp.build_halo_sharding(
+        np.zeros((2, 0), np.int64), None, s1.step_sizes[0], own_m1, granularity
+    )
+    sh2 = hp.build_halo_sharding(
+        s1.edge_index, s1.edge_weight, s1.n_out, s1.owner_out, granularity
+    )
+    own_m2 = np.zeros(s2.step_sizes[0], dtype=owner.dtype)
+    own_m2[s2.step_clusters[0]] = s1.owner_out
+    sh_m2 = hp.build_halo_sharding(
+        np.zeros((2, 0), np.int64), None, s2.step_sizes[0], own_m2, granularity
+    )
+    sh3 = hp.build_halo_sharding(
+        s2.edge_index, s2.edge_weight, s2.n_out, s2.owner_out, granularity
+    )
+
+    clusters_loc = [
+        _localize_map(s1.step_clusters[0], sh1, sh_m1),
+        _localize_map(s1.step_clusters[1], sh_m1, sh2),
+        _localize_map(s2.step_clusters[0], sh2, sh_m2),
+        _localize_map(s2.step_clusters[1], sh_m2, sh3),
+    ]
+    unpool1 = _localize_map(s1.unpool, sh1, sh2)
+    unpool2 = _localize_map(s2.unpool, sh2, sh3)
+    return HaloBranch(
+        levels=[sh1, sh2, sh3],
+        clusters_loc=clusters_loc,
+        unpool1_loc=unpool1,
+        unpool2_loc=unpool2,
+    )
+
+
+def branch_device_arrays(hb: HaloBranch) -> dict:
+    """The (P, ...) arrays a shard_map step consumes, as one dict pytree."""
+    d = {}
+    for i, sh in enumerate(hb.levels):
+        d[f"ei{i}"] = sh.edge_index
+        d[f"deg{i}"] = sh.deg
+        d[f"send{i}"] = sh.send_idx
+        d[f"mask{i}"] = sh.node_mask
+    for i, cl in enumerate(hb.clusters_loc):
+        d[f"cl{i}"] = cl
+    d["unpool1"] = hb.unpool1_loc
+    d["unpool2"] = hb.unpool2_loc
+    return d
+
+
+# --------------------------------------------------------------------------
+# device side (per chip, inside shard_map over `axis`)
+# --------------------------------------------------------------------------
+
+def _pool_local(x, cl, n_out, pool_type="max"):
+    import jax.numpy as jnp
+
+    from geobignn_tpu.ops import segment
+
+    if pool_type == "max":
+        return segment.segment_max(x, cl, n_out)
+    return segment.segment_mean(x, cl, n_out)
+
+
+def halo_gnn_module(params, x_loc, d: dict, axis: str, pool_type: str = "max"):
+    """Functional halo U-Net consuming models.GNNModule's param pytree
+    (keys l_conv1..4, r_conv1..4).  `d` = branch_device_arrays slice for
+    this chip.  Returns (n_loc_l1, 32) local features."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from geobignn_tpu.models.dual_gnn import LEAKY_SLOPE
+    from geobignn_tpu.ops.feastconv import FeastParams
+
+    def fp(name):
+        q = params[name]
+        return FeastParams(u=q["u"], c=q["c"], w=q["w"], b=q["b"])
+
+    def conv(name, x, lvl):
+        return hp.halo_feast_conv(
+            fp(name), x, d[f"ei{lvl}"], d[f"deg{lvl}"], d[f"send{lvl}"], axis,
+            node_mask=d[f"mask{lvl}"],
+        )
+
+    act = lambda v: nn.leaky_relu(v, LEAKY_SLOPE)
+
+    x1 = act(conv("l_conv1", x_loc, 0))
+    xm = _pool_local(x1, d["cl0"], d["cl1"].shape[0], pool_type)
+    x2 = _pool_local(xm, d["cl1"], d["mask1"].shape[0], pool_type)
+    x2 = act(conv("l_conv2", x2, 1))
+    xm = _pool_local(x2, d["cl2"], d["cl3"].shape[0], pool_type)
+    x3 = _pool_local(xm, d["cl3"], d["mask2"].shape[0], pool_type)
+    x3 = act(conv("l_conv3", x3, 2))
+    x3 = act(conv("l_conv4", x3, 2))
+
+    u2 = x3[d["unpool2"]]
+    u2 = conv("r_conv1", u2, 1)
+    x2 = jnp.concatenate([x2, u2], axis=1)
+    x2 = act(conv("r_conv2", x2, 1))
+
+    u1 = x2[d["unpool1"]]
+    u1 = conv("r_conv3", u1, 0)
+    x1 = jnp.concatenate([x1, u1], axis=1)
+    return act(conv("r_conv4", x1, 0))

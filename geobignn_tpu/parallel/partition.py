@@ -101,14 +101,15 @@ def build_halo_sharding(
     n_loc = round_up(int(counts.max()) + 1, granularity)
     trash_loc = n_loc - 1
 
+    # vectorized slot assignment: nodes keep id order within their partition
     slot_of = np.zeros(n, dtype=np.int64)
     gather_x = np.full((p_cnt, n_loc), n, dtype=np.int64)  # n == global trash row
-    next_slot = np.zeros(p_cnt, dtype=np.int64)
-    for v in range(n):
-        p = owner[v]
-        slot_of[v] = next_slot[p]
-        gather_x[p, next_slot[p]] = v
-        next_slot[p] += 1
+    order_n = np.argsort(owner[:n], kind="stable")
+    starts = np.zeros(p_cnt, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    ranks = np.arange(n, dtype=np.int64) - starts[owner[order_n]]
+    slot_of[order_n] = ranks
+    gather_x[owner[order_n], ranks] = order_n
 
     row, col = edge_index[0].astype(np.int64), edge_index[1].astype(np.int64)
     # halo sets: for each (dst chip p, src chip q != p): globals of q used by p
