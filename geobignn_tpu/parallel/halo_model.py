@@ -166,3 +166,133 @@ def halo_gnn_module(params, x_loc, d: dict, axis: str, pool_type: str = "max"):
     u1 = conv("r_conv3", u1, 0)
     x1 = jnp.concatenate([x1, u1], axis=1)
     return act(conv("r_conv4", x1, 0))
+
+
+# --------------------------------------------------------------------------
+# full dual model: cross-domain vertex->facet gather across chips
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class HaloDual:
+    """Both branches + the fv cross-domain halo relation."""
+
+    v: HaloBranch
+    f: HaloBranch
+    fv_loc: np.ndarray  # (P, n_loc_f, 3) into [v local slots | fv halo bufs]
+    send_fv: np.ndarray  # (P, P, h_pad) vertex local slots sent per pair
+
+
+def build_gather_halo(
+    indices: np.ndarray,  # (M, K) global src ids per row
+    owner_rows: np.ndarray,  # (M,) chip per row
+    row_slot_of: np.ndarray,  # (M,) local slot per row
+    n_loc_rows: int,
+    sh_src: "hp.HaloSharding",
+    granularity: int = 8,
+):
+    """Halo structure for an arbitrary gather relation (e.g. face->vertex
+    corners): per destination chip, the remote src rows it needs, as
+    send_idx (src side) + localized index table (dst side)."""
+    from geobignn_tpu.structs import round_up
+
+    p_cnt = sh_src.n_parts
+    src_owner, src_slot = sh_src.owner, sh_src.slot_of
+    m, k = indices.shape
+
+    halo: list[list[np.ndarray]] = [[None] * p_cnt for _ in range(p_cnt)]
+    h_max = 1
+    for p in range(p_cnt):
+        rows_p = owner_rows == p
+        used = np.unique(indices[rows_p].reshape(-1))
+        for q in range(p_cnt):
+            if q == p:
+                halo[p][q] = np.empty(0, dtype=np.int64)
+                continue
+            remote = used[src_owner[used] == q]
+            halo[p][q] = remote
+            h_max = max(h_max, remote.size)
+    h_pad = round_up(h_max, granularity)
+
+    trash_src = sh_src.n_loc - 1
+    send_idx = np.full((p_cnt, p_cnt, h_pad), trash_src, dtype=np.int32)
+    pos: list[dict] = [dict() for _ in range(p_cnt)]
+    for p in range(p_cnt):
+        for q in range(p_cnt):
+            nodes = halo[p][q]
+            if nodes.size:
+                send_idx[q, p, : nodes.size] = src_slot[nodes]
+                base = sh_src.n_loc + q * h_pad
+                for j, g in enumerate(nodes):
+                    pos[p][int(g)] = base + j
+
+    table = np.full((p_cnt, n_loc_rows, k), trash_src, dtype=np.int32)
+    for r in range(m):
+        p = owner_rows[r]
+        s = row_slot_of[r]
+        for c in range(k):
+            g = int(indices[r, c])
+            table[p, s, c] = src_slot[g] if src_owner[g] == p else pos[p][g]
+    return table, send_idx
+
+
+def build_halo_dual(
+    ei_v, w_v, n_v, specs_v, owner_v,
+    ei_f, w_f, fv_indices, specs_f,
+    granularity: int = 8,
+) -> HaloDual:
+    """Faces are owned by the chip of their first corner; both hierarchies
+    must be owner-constrained."""
+    n_f = fv_indices.shape[0]
+    owner_f = owner_v[fv_indices[:, 0]].astype(np.int32)
+    hb_v = build_halo_branch(ei_v, w_v, n_v, specs_v, owner_v, granularity)
+    hb_f = build_halo_branch(ei_f, w_f, n_f, specs_f, owner_f, granularity)
+    fv_loc, send_fv = build_gather_halo(
+        fv_indices.astype(np.int64), owner_f,
+        hb_f.levels[0].slot_of[:n_f].astype(np.int64),
+        hb_f.levels[0].n_loc, hb_v.levels[0], granularity,
+    )
+    return HaloDual(v=hb_v, f=hb_f, fv_loc=fv_loc, send_fv=send_fv)
+
+
+def dual_device_arrays(hd: HaloDual) -> dict:
+    return dict(
+        v=branch_device_arrays(hd.v),
+        f=branch_device_arrays(hd.f),
+        fv=hd.fv_loc,
+        send_fv=hd.send_fv,
+    )
+
+
+def halo_dual_gnn(params, x_v_loc, x_f_loc, d: dict, axis: str,
+                  pool_type: str = "max"):
+    """Full DualGNN forward over halo shards; consumes models.DualGNN's
+    parameter pytree.  Returns (vert_p_loc, norm_p_loc)."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from geobignn_tpu import geometry
+    from geobignn_tpu.models.dual_gnn import LEAKY_SLOPE
+
+    act = lambda v: nn.leaky_relu(v, LEAKY_SLOPE)
+
+    def dense(name, x):
+        q = params[name]
+        return x @ q["kernel"] + q["bias"]
+
+    xyz = x_v_loc[:, :3]
+    feat_v = halo_gnn_module(params["gnn_v"], x_v_loc, d["v"], axis, pool_type)
+    h = act(dense("fc_v1", feat_v))
+    vert_p = dense("fc_v2", h) + xyz
+
+    # cross-domain: exchange corner vertex positions, rebuild facet features
+    ext_v = hp.halo_exchange(vert_p, d["send_fv"], axis)
+    corners = ext_v[d["fv"]]  # (n_loc_f, 3, 3)
+    face_cent = corners.mean(axis=1)
+    n_ = jnp.cross(corners[:, 1] - corners[:, 0], corners[:, 2] - corners[:, 0])
+    face_norm = geometry.safe_normalize(n_)
+    x_f = jnp.concatenate([x_f_loc, face_cent, face_norm], axis=1)
+
+    feat_f = halo_gnn_module(params["gnn_f"], x_f, d["f"], axis, pool_type)
+    h = act(dense("fc_f1", feat_f))
+    norm_p = geometry.safe_normalize(dense("fc_f2", h))
+    return vert_p, norm_p

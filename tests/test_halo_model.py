@@ -65,3 +65,77 @@ def test_halo_unet_matches_single_device():
     got = hp.unshard_features(np.asarray(out_loc), hb.levels[0], n)
 
     np.testing.assert_allclose(got, np.asarray(ref)[:n], atol=3e-5)
+
+
+def test_halo_dual_gnn_matches_single_device():
+    """Full bi-domain model over 4-way halo shards == DualGNN."""
+    from geobignn_tpu.data.builder import BuildConfig, build_raw, plan_for, _pad_branch
+    from geobignn_tpu.models import DualGNN
+    from geobignn_tpu import structs as st
+
+    n_parts = 4
+    m_o = synth.icosphere(3)
+    m_n = synth.add_noise(m_o, 0.2, seed=0)
+    cfg = BuildConfig(granularity=32)
+
+    # raw geometry/graphs (unconstrained) ...
+    bv, bf, meta = build_raw(m_n, m_o, cfg)
+    n_v, n_f = bv.n_nodes, bf.n_nodes
+    owner_v = hp.partition_nodes(bv.edge_index, n_v, n_parts, seed=2)
+    owner_f = owner_v[meta["fv_indices"][:, 0]].astype(np.int32)
+
+    # ... but hierarchies rebuilt owner-constrained so clusters stay local
+    bv.specs = build_hierarchy(
+        bv.edge_index, bv.edge_weight, bv.x, n_v, owner=owner_v,
+        weight_type=cfg.weight_type,
+    )
+    bf.specs = build_hierarchy(
+        bf.edge_index, bf.edge_weight, bf.x, n_f, owner=owner_f,
+        weight_type=cfg.weight_type,
+    )
+
+    # single-device reference sample from the SAME specs
+    plan = plan_for(bv, bf, cfg.granularity)
+    gv, gf = _pad_branch(bv, plan.v), _pad_branch(bf, plan.f)
+    trash_v = plan.v.n1 - 1
+    fv_pad = np.full((plan.f.n1, 3), trash_v, np.int32)
+    fv_pad[:n_f] = meta["fv_indices"]
+    sample = st.DualSample(
+        v=gv, f=gf, fv_indices=fv_pad,
+        edge_dual_v=np.zeros(1, np.int32), edge_dual_f=np.zeros(1, np.int32),
+        centroid=meta["centroid"].astype(np.float32),
+        scale=np.float32(meta["scale"]),
+    )
+    model = DualGNN()
+    params = model.init(jax.random.PRNGKey(0), sample)
+    v_ref, n_ref = model.apply(params, sample)
+
+    # halo-sharded version
+    hd = hm.build_halo_dual(
+        bv.edge_index, bv.edge_weight, n_v, bv.specs, owner_v,
+        bf.edge_index, bf.edge_weight, meta["fv_indices"], bf.specs,
+    )
+    d = hm.dual_device_arrays(hd)
+    xv_loc = hp.shard_features(bv.x, hd.v.levels[0])
+    xf_loc = hp.shard_features(bf.x, hd.f.levels[0])
+
+    p_flat = jax.tree.map(np.asarray, params["params"])
+    mesh = make_mesh(1, n_parts)
+    in_specs = (P(), P("gp"), P("gp"), jax.tree.map(lambda _: P("gp"), d))
+
+    def fn(p, xv, xf, d_l):
+        sl = jax.tree.map(lambda a: a[0], d_l)
+        v, nrm = hm.halo_dual_gnn(p, xv[0], xf[0], sl, axis="gp")
+        return v[None], nrm[None]
+
+    sharded = jax.jit(
+        jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                      out_specs=(P("gp"), P("gp")), check_vma=False)
+    )
+    v_loc, nrm_loc = sharded(p_flat, jnp.asarray(xv_loc), jnp.asarray(xf_loc),
+                             jax.tree.map(jnp.asarray, d))
+    v_got = hp.unshard_features(np.asarray(v_loc), hd.v.levels[0], n_v)
+    n_got = hp.unshard_features(np.asarray(nrm_loc), hd.f.levels[0], n_f)
+
+    np.testing.assert_allclose(v_got, np.asarray(v_ref)[:n_v], atol=3e-5)
+    np.testing.assert_allclose(n_got, np.asarray(n_ref)[:n_f], atol=3e-5)
