@@ -139,3 +139,101 @@ def test_halo_dual_gnn_matches_single_device():
 
     np.testing.assert_allclose(v_got, np.asarray(v_ref)[:n_v], atol=3e-5)
     np.testing.assert_allclose(n_got, np.asarray(n_ref)[:n_f], atol=3e-5)
+
+
+def test_halo_dual_gradients_match_single_device():
+    """Backward through the halo model (all_to_all transpose + vma psums)
+    must give the single-device gradients — halo TRAINING correctness."""
+    from geobignn_tpu.data.builder import BuildConfig, build_raw, plan_for, _pad_branch
+    from geobignn_tpu.models import DualGNN
+    from geobignn_tpu import structs as st
+
+    n_parts = 4
+    m_o = synth.icosphere(2)
+    m_n = synth.add_noise(m_o, 0.2, seed=1)
+    cfg = BuildConfig(granularity=16)
+    bv, bf, meta = build_raw(m_n, m_o, cfg)
+    n_v, n_f = bv.n_nodes, bf.n_nodes
+    owner_v = hp.partition_nodes(bv.edge_index, n_v, n_parts, seed=4)
+    owner_f = owner_v[meta["fv_indices"][:, 0]].astype(np.int32)
+    bv.specs = build_hierarchy(bv.edge_index, bv.edge_weight, bv.x, n_v, owner=owner_v)
+    bf.specs = build_hierarchy(bf.edge_index, bf.edge_weight, bf.x, n_f, owner=owner_f)
+
+    plan = plan_for(bv, bf, cfg.granularity)
+    gv, gf = _pad_branch(bv, plan.v), _pad_branch(bf, plan.f)
+    trash_v = plan.v.n1 - 1
+    fv_pad = np.full((plan.f.n1, 3), trash_v, np.int32)
+    fv_pad[:n_f] = meta["fv_indices"]
+    sample = st.DualSample(
+        v=gv, f=gf, fv_indices=fv_pad,
+        edge_dual_v=np.zeros(1, np.int32), edge_dual_f=np.zeros(1, np.int32),
+        centroid=meta["centroid"].astype(np.float32), scale=np.float32(meta["scale"]),
+    )
+    model = DualGNN()
+    params = model.init(jax.random.PRNGKey(0), sample)
+
+    def ref_loss(p):
+        v, nrm = model.apply(p, sample)
+        mv = sample.v.levels[0].node_mask
+        mf = sample.f.levels[0].node_mask
+        lv = (jnp.abs(v - sample.v.y).sum(1) * mv).sum() / mv.sum()
+        ln = (jnp.abs(nrm - sample.f.y).sum(1) * mf).sum() / mf.sum()
+        return lv + ln
+
+    g_ref = jax.grad(ref_loss)(params)["params"]
+
+    hd = hm.build_halo_dual(
+        bv.edge_index, bv.edge_weight, n_v, bv.specs, owner_v,
+        bf.edge_index, bf.edge_weight, meta["fv_indices"], bf.specs,
+    )
+    d = hm.dual_device_arrays(hd)
+    sh_v, sh_f = hd.v.levels[0], hd.f.levels[0]
+    xv = jnp.asarray(hp.shard_features(bv.x, sh_v))
+    xf = jnp.asarray(hp.shard_features(bf.x, sh_f))
+    yv = jnp.asarray(hp.shard_features(bv.y, sh_v))
+    yf = jnp.asarray(hp.shard_features(bf.y, sh_f))
+    mv = jnp.asarray(sh_v.node_mask)[:, :, None]
+    mf = jnp.asarray(sh_f.node_mask)[:, :, None]
+
+    p_flat = jax.tree.map(np.asarray, params["params"])
+    mesh = make_mesh(1, n_parts)
+    in_specs = (P(),) + (P("gp"),) * 6 + (jax.tree.map(lambda _: P("gp"), d),)
+
+    def loss_fn(p, xv_, xf_, yv_, yf_, mv_, mf_, d_):
+        sl = jax.tree.map(lambda a: a[0], d_)
+        v, nrm = hm.halo_dual_gnn(p, xv_[0], xf_[0], sl, axis="gp")
+        m_v, m_f = mv_[0, :, 0], mf_[0, :, 0]
+        sv = (jnp.abs(v - yv_[0]).sum(1) * m_v).sum()
+        sn = (jnp.abs(nrm - yf_[0]).sum(1) * m_f).sum()
+        parts = jax.lax.psum(
+            jnp.stack([sv, sn, m_v.sum(), m_f.sum()]), "gp"
+        )
+        return parts[0] / parts[2] + parts[1] / parts[3]
+
+    grad_sharded = jax.jit(
+        jax.shard_map(
+            jax.grad(loss_fn),
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P(),
+            check_vma=True,
+        )
+    )
+    g_halo = grad_sharded(p_flat, xv, xf, yv, yf, mv, mf,
+                          jax.tree.map(jnp.asarray, d))
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_halo = dict(
+        ("/".join(str(getattr(k, "key", k)) for k in path), leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g_halo)
+    )
+    checked = 0
+    for path, leaf in flat_ref:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        np.testing.assert_allclose(
+            np.asarray(flat_halo[name]), np.asarray(leaf), atol=5e-4,
+            err_msg=name,
+        )
+        checked += 1
+    # 2 branches x 8 convs x 4 leaves + 4 dense x 2 leaves = 72
+    assert checked == 72
