@@ -140,11 +140,37 @@ class Trainer:
             m_acc = jax.tree.map(lambda a, b: a + b, m_acc, metrics)
             return params, opt_state, m_acc
 
+        def epoch_step(params, opt_state, stacked, order, keys, augment_on):
+            """An ENTIRE epoch in one dispatch: lax.scan over the shuffled
+            sample indices of the device-stacked dataset.  Per-dispatch
+            latency over a tunneled TPU (~10-100 ms) otherwise dwarfs the
+            sub-ms device step."""
+
+            def body(carry, ok):
+                params, opt_state, m_acc = carry
+                i, key = ok
+                sample = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, False),
+                    stacked,
+                )
+                params, opt_state, m_acc = fused_step(
+                    params, opt_state, m_acc, sample, key, augment_on
+                )
+                return (params, opt_state, m_acc), None
+
+            m0 = {k: jnp.zeros(()) for k in self._metric_keys}
+            (params, opt_state, m_acc), _ = jax.lax.scan(
+                body, (params, opt_state, m0), (order, keys)
+            )
+            return params, opt_state, m_acc
+
         self._grad = jax.jit(grad_step, static_argnums=(3,))
         self._acc = jax.jit(acc_step)
         self._apply = jax.jit(apply_step, donate_argnums=(0, 1))
         self._fused = jax.jit(fused_step, static_argnums=(5,), donate_argnums=(0, 1, 2))
+        self._epoch = jax.jit(epoch_step, static_argnums=(5,), donate_argnums=(0, 1))
         self._eval = jax.jit(eval_step)
+        self._stacked_train = None
         self._metric_keys = (
             "loss", "loss_v", "loss_f", "error_v", "error_f", "n_v", "n_f"
         )
@@ -159,8 +185,27 @@ class Trainer:
         m_acc = {k: jnp.zeros(()) for k in self._metric_keys}
         n_steps = 0
         t0 = time.time()
-        if cfg.batch_size == 1:
-            # fast path: one dispatch per step, zero host syncs in the loop
+        if cfg.batch_size == 1 and cfg.preload:
+            # fastest path: whole epoch in ONE dispatch (scan over the
+            # device-stacked dataset)
+            if self._stacked_train is None:
+                from geobignn_tpu.parallel import stack_samples
+
+                self._stacked_train = jax.device_put(
+                    stack_samples(
+                        [self.train_ds.get(i, self.plan) for i in range(len(self.train_ds))]
+                    )
+                )
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(1 << 31))), len(order)
+            )
+            self.params, self.opt_state, m_acc = self._epoch(
+                self.params, self.opt_state, self._stacked_train,
+                jnp.asarray(order, jnp.int32), keys, cfg.augment,
+            )
+            n_steps = len(order)
+        elif cfg.batch_size == 1:
+            # one dispatch per step, zero host syncs in the loop
             for idx in order:
                 sample = self._get(self.train_ds, "t", int(idx))
                 key = jax.random.PRNGKey(int(rng.integers(1 << 31)))
