@@ -16,15 +16,21 @@ vs_baseline divides by a measured reference-style PyTorch-CPU
 implementation of identical semantics (bench_baseline_torch.py), cached in
 BENCH_BASELINE.json — the reference repo publishes no numbers and its CUDA
 stack is not installed here (BASELINE.md).
+
+Timing is done by chaining k steps inside one jitted fori_loop and syncing
+with a device->host transfer, differencing two chain lengths: on the
+tunneled TPU platform `jax.block_until_ready` returns before the device
+finishes, so naive per-dispatch wall-clock is off by orders of magnitude
+(train/profiling.py:device_sync documents the measurement).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -39,7 +45,7 @@ def main():
     from geobignn_tpu.train.trainer import _metrics_of
 
     subdiv = int(os.environ.get("BENCH_SUBDIV", "5"))  # 20480 faces
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    steps = int(os.environ.get("BENCH_STEPS", "6"))
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
 
     from geobignn_tpu.data.batching import union_batch
@@ -58,7 +64,6 @@ def main():
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
-    @jax.jit
     def train_step(params, opt_state, sample):
         def loss_fn(p):
             vert_p, norm_p = model.apply(p, sample)
@@ -70,15 +75,28 @@ def main():
         return params, opt_state, metrics["loss"]
 
     sample = jax.device_put(sample)
-    # warmup / compile
-    params, opt_state, loss = train_step(params, opt_state, sample)
-    jax.block_until_ready(loss)
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, loss = train_step(params, opt_state, sample)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / steps
+    # Timing methodology: k steps chained in ONE dispatch (fori_loop), synced
+    # by a device->host transfer, two chain lengths differenced.  Plain
+    # wall-clock around dispatches + block_until_ready is invalid on this
+    # platform — see train/profiling.py:device_sync.
+    @jax.jit
+    def k_steps(params, opt_state, sample, k):
+        def body(_, carry):
+            p, o, _ = carry
+            return train_step(p, o, sample)
+
+        return jax.lax.fori_loop(
+            0, k, body, (params, opt_state, jnp.float32(0.0))
+        )[2]
+
+    from geobignn_tpu.train.profiling import measure_chained
+
+    k_pair = (1, 1 + max(steps, 2))
+    dt = measure_chained(
+        lambda k: k_steps(params, opt_state, sample, k),
+        k_small=k_pair[0], k_large=k_pair[1],
+    )
 
     edges_per_s = msgs / dt
 

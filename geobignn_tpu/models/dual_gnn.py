@@ -43,6 +43,8 @@ class FeaStConv(nn.Module):
     gp_axis: str | None = None  # edge-partition mesh axis (graph parallel)
     remat: bool = True  # recompute gathers in backward (AD residuals of the
     # per-conv (E, C) gathered features otherwise dominate HBM on big meshes)
+    rows_sorted: bool = True  # host-built GraphLevels are row-sorted; the
+    # dynamic-pooling path passes False (coalesced edges are not)
 
     @nn.compact
     def __call__(self, x: jax.Array, level: GraphLevel) -> jax.Array:
@@ -61,6 +63,7 @@ class FeaStConv(nn.Module):
                 p_, x_, level.edge_index,
                 deg=None if self.gp_axis else level.deg.astype(x.dtype),
                 psum_axis=self.gp_axis,
+                rows_sorted=self.rows_sorted,
             )
             # restore the zero-trash invariant: the bias/self terms make
             # padded lanes nonzero, and the trash lane would otherwise

@@ -18,14 +18,21 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_sum(data, segment_ids, num_segments: int):
-    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+def segment_sum(data, segment_ids, num_segments: int, *, sorted: bool = False):
+    """`sorted=True` asserts segment_ids is non-decreasing — true for every
+    edge list this framework builds (host builders lex-sort by row and the
+    trash padding index is the maximum slot, structs.py) — and lets XLA use
+    its sorted-scatter lowering (measured ~1.8x on the FeaStConv aggregate
+    on v5e; passing it on unsorted ids silently corrupts results)."""
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments=num_segments, indices_are_sorted=sorted
+    )
 
 
-def segment_mean(data, segment_ids, num_segments: int):
-    s = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+def segment_mean(data, segment_ids, num_segments: int, *, sorted: bool = False):
+    s = segment_sum(data, segment_ids, num_segments, sorted=sorted)
     ones = jnp.ones(segment_ids.shape[:1], dtype=data.dtype)
-    cnt = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+    cnt = segment_sum(ones, segment_ids, num_segments, sorted=sorted)
     cnt = jnp.maximum(cnt, 1.0)
     return s / cnt.reshape((num_segments,) + (1,) * (s.ndim - 1))
 
@@ -36,6 +43,6 @@ def segment_max(data, segment_ids, num_segments: int, fill_value=0.0):
     return jnp.where(jnp.isneginf(m), jnp.asarray(fill_value, m.dtype), m)
 
 
-def segment_count(segment_ids, num_segments: int, dtype=jnp.float32):
+def segment_count(segment_ids, num_segments: int, dtype=jnp.float32, *, sorted: bool = False):
     ones = jnp.ones(segment_ids.shape[:1], dtype=dtype)
-    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+    return segment_sum(ones, segment_ids, num_segments, sorted=sorted)

@@ -228,7 +228,9 @@ def halo_feast_conv(
     q = jax.nn.softmax(s, axis=-1)
 
     def one_head(w_h, q_h):
-        z = segment.segment_sum(q_h[:, None] * x_j, row, n)
+        # local rows inherit the global row-sort (slot order preserves id
+        # order within a partition; trash padding is the max slot)
+        z = segment.segment_sum(q_h[:, None] * x_j, row, n, sorted=True)
         return jnp.dot(z, w_h, preferred_element_type=x_local.dtype)
 
     out = one_head(params.w[0], q[:, 0])

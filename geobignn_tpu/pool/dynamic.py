@@ -97,28 +97,28 @@ class GNNModuleDynamic(nn.Module):
                 node_mask=jnp.ones(n_pad),
             )
 
-        x1 = act(FeaStConv(32, self.heads, name="l_conv1")(x, lvl(edge_index)))
+        x1 = act(FeaStConv(32, self.heads, rows_sorted=False, name="l_conv1")(x, lvl(edge_index)))
         x2, ei2, w2, un1 = DynamicPooling(
             32, self.pool_type, 2, self.edge_weight_type, self.wei_param,
             name="pooling1",
         )(x1, edge_index, edge_weight)
-        x2 = act(FeaStConv(64, self.heads, name="l_conv2")(x2, lvl(ei2)))
+        x2 = act(FeaStConv(64, self.heads, rows_sorted=False, name="l_conv2")(x2, lvl(ei2)))
         x3, ei3, w3, un2 = DynamicPooling(
             64, self.pool_type, 2, self.edge_weight_type, self.wei_param,
             name="pooling2",
         )(x2, ei2, w2)
-        x3 = act(FeaStConv(128, self.heads, name="l_conv3")(x3, lvl(ei3)))
-        x3 = act(FeaStConv(128, self.heads, name="l_conv4")(x3, lvl(ei3)))
+        x3 = act(FeaStConv(128, self.heads, rows_sorted=False, name="l_conv3")(x3, lvl(ei3)))
+        x3 = act(FeaStConv(128, self.heads, rows_sorted=False, name="l_conv4")(x3, lvl(ei3)))
 
         u2 = x3[un2]
-        u2 = FeaStConv(64, self.heads, name="r_conv1")(u2, lvl(ei2))
+        u2 = FeaStConv(64, self.heads, rows_sorted=False, name="r_conv1")(u2, lvl(ei2))
         x2 = jnp.concatenate([x2, u2], axis=1)
-        x2 = act(FeaStConv(64, self.heads, name="r_conv2")(x2, lvl(ei2)))
+        x2 = act(FeaStConv(64, self.heads, rows_sorted=False, name="r_conv2")(x2, lvl(ei2)))
 
         u1 = x2[un1]
-        u1 = FeaStConv(32, self.heads, name="r_conv3")(u1, lvl(edge_index))
+        u1 = FeaStConv(32, self.heads, rows_sorted=False, name="r_conv3")(u1, lvl(edge_index))
         x1 = jnp.concatenate([x1, u1], axis=1)
-        return act(FeaStConv(32, self.heads, name="r_conv4")(x1, lvl(edge_index)))
+        return act(FeaStConv(32, self.heads, rows_sorted=False, name="r_conv4")(x1, lvl(edge_index)))
 
 
 class DualGNNDynamic(nn.Module):

@@ -26,6 +26,41 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def device_sync(x) -> float:
+    """Force completion of the computation producing `x` and return one
+    scalar from it.
+
+    `jax.block_until_ready` is NOT a reliable fence on every PJRT backend:
+    on tunneled/remote platforms (axon) it returns as soon as the dispatch
+    RPC is acknowledged, long before the device finishes — wall-clock
+    timed that way reports physically impossible throughput (measured:
+    an 8192^3 f32 matmul "completing" in 0.01 ms).  A device->host value
+    transfer cannot be faked, so this is the one trustworthy sync point."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = x if hasattr(x, "ravel") else jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(jnp.ravel(leaf)[0]))
+
+
+def measure_chained(fn, k_small: int = 1, k_large: int = 6, reps: int = 2) -> float:
+    """Seconds per iteration of `fn(k) -> array`, where fn runs its workload
+    k times chained inside one dispatch.  Differencing two chain lengths
+    cancels both the dispatch round-trip (~90 ms over the axon tunnel) and
+    the host->device sync cost; `device_sync` provides the real fence."""
+    device_sync(fn(k_small))  # warm / compile both traces
+    device_sync(fn(k_large))
+
+    def once(k):
+        t0 = time.perf_counter()
+        device_sync(fn(k))
+        return time.perf_counter() - t0
+
+    t_small = min(once(k_small) for _ in range(reps))
+    t_large = min(once(k_large) for _ in range(reps))
+    return max(t_large - t_small, 1e-9) / (k_large - k_small)
+
+
 class StepTimer:
     def __init__(self):
         self.samples: list[float] = []
