@@ -40,7 +40,12 @@ def main():
     from bench_baseline_torch import messages_per_step
     from geobignn_tpu.config import Config
     from geobignn_tpu.data import synth
-    from geobignn_tpu.data.builder import BuildConfig, build_dual_sample, build_raw
+    from geobignn_tpu.data.builder import (
+        BuildConfig,
+        attach_tables,
+        build_dual_sample,
+        build_raw,
+    )
     from geobignn_tpu.models import DualGNN
     from geobignn_tpu.train.trainer import _metrics_of
 
@@ -56,7 +61,8 @@ def main():
     bv, bf, _ = build_raw(m_n, m_o, bc)
     msgs = (messages_per_step(bv) + messages_per_step(bf)) * batch_size
     single, _ = build_dual_sample(m_n, m_o, bc)
-    sample = union_batch([single] * batch_size)
+    # dense neighbor tables AFTER union: the scatter-free fast path
+    sample = attach_tables(union_batch([single] * batch_size))
 
     cfg = Config(granularity=256)
     model = DualGNN()

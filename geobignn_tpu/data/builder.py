@@ -158,6 +158,149 @@ def _pad_branch(b: RawBranch, s: structs.BranchSizes) -> structs.BranchGraph:
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class TableWidths:
+    """Padded table widths (so all samples of a dataset share one compile).
+    k: neighbor-table width per level; mem: member width per pool step;
+    up: unpool fan-in per unpool map; fv_r: faces-per-vertex fan-in."""
+
+    k_v: tuple[int, int, int]
+    k_f: tuple[int, int, int]
+    mem_v: tuple[int, int, int, int]
+    mem_f: tuple[int, int, int, int]
+    up_v: tuple[int, int]
+    up_f: tuple[int, int]
+    fv_r: int
+
+    def merge(self, other: "TableWidths") -> "TableWidths":
+        mx = lambda a, b: tuple(max(x, y) for x, y in zip(a, b))
+        return TableWidths(
+            k_v=mx(self.k_v, other.k_v), k_f=mx(self.k_f, other.k_f),
+            mem_v=mx(self.mem_v, other.mem_v), mem_f=mx(self.mem_f, other.mem_f),
+            up_v=mx(self.up_v, other.up_v), up_f=mx(self.up_f, other.up_f),
+            fv_r=max(self.fv_r, other.fv_r),
+        )
+
+
+def widths_for(
+    bv: RawBranch, bf: RawBranch, fv_indices: np.ndarray, granularity: int = 8
+) -> TableWidths:
+    """Exact table maxima of one raw sample (cheap bincounts, no tables),
+    rounded up to `granularity` where the width scales with mesh degree."""
+    g = granularity
+
+    def branch_widths(b: RawBranch):
+        s1, s2 = b.specs
+        levels = [(b.edge_index, b.n_nodes), (s1.edge_index, s1.n_out),
+                  (s2.edge_index, s2.n_out)]
+        k = tuple(
+            structs.round_up(int(np.bincount(ei[0], minlength=n).max()), g)
+            for ei, n in levels
+        )
+        mem = tuple(
+            int(np.bincount(cl, minlength=m).max())
+            for cl, m in [
+                (s1.step_clusters[0], s1.step_sizes[0]),
+                (s1.step_clusters[1], s1.n_out),
+                (s2.step_clusters[0], s2.step_sizes[0]),
+                (s2.step_clusters[1], s2.n_out),
+            ]
+        )
+        up = tuple(
+            int(np.bincount(u, minlength=n).max())
+            for u, n in [(s1.unpool, s1.n_out), (s2.unpool, s2.n_out)]
+        )
+        return k, mem, up
+
+    k_v, mem_v, up_v = branch_widths(bv)
+    k_f, mem_f, up_f = branch_widths(bf)
+    fv_r = structs.round_up(
+        int(np.bincount(fv_indices.reshape(-1), minlength=bv.n_nodes).max()), g
+    )
+    return TableWidths(k_v, k_f, mem_v, mem_f, up_v, up_f, fv_r)
+
+
+def attach_tables(
+    sample: structs.DualSample,
+    widths: TableWidths | None = None,
+    granularity: int = 8,
+) -> structs.DualSample:
+    """Attach dense neighbor/member/reverse tables (ops/table.py) to a
+    host-side (numpy-leaf) DualSample, enabling the scatter-free fast paths
+    in the model.  Call AFTER union_batch — tables are derived from the
+    final padded index arrays, so batching needs no table-aware offsets.
+
+    Pass dataset-merged `widths` so every sample shares one XLA compile;
+    with widths=None each sample gets its exact (granularity-rounded)
+    maxima, which may recompile across samples."""
+    from geobignn_tpu.ops import table as tbl
+
+    w = widths
+
+    def level_tables(lvl: structs.GraphLevel, k_pad) -> structs.GraphLevel:
+        n_pad = np.asarray(lvl.node_mask).shape[0]
+        nbr, kmask, k = tbl.neighbor_table_np(
+            np.asarray(lvl.edge_index), n_pad, k_pad=k_pad, granularity=granularity
+        )
+        rev, _ = tbl.reverse_table_np(
+            nbr, n_pad, src_mask=np.asarray(lvl.node_mask) > 0,
+            r_pad=k, granularity=granularity,
+        )
+        return lvl.replace(nbr=nbr, kmask=kmask, rev=rev)
+
+    def branch_tables(b: structs.BranchGraph, k_pads, mem_pads, up_pads):
+        levels = tuple(
+            level_tables(l, k_pads[i] if k_pads else None)
+            for i, l in enumerate(b.levels)
+        )
+        # chain fine-slot validity through the 4 matching rounds
+        fine_masks = [np.asarray(b.levels[0].node_mask) > 0]
+        steps = []
+        for i, st in enumerate(b.steps):
+            cl = np.asarray(st.cluster)
+            members, mmask, _ = tbl.members_table_np(
+                cl, fine_masks[-1], st.n_out,
+                m_pad=mem_pads[i] if mem_pads else None,
+            )
+            rev, _ = tbl.reverse_table_np(
+                members, cl.shape[0], src_mask=fine_masks[-1], r_pad=1
+            )
+            steps.append(st.replace(members=members, mmask=mmask, rev=rev))
+            fine_masks.append(mmask.sum(axis=1) > 0)
+        n2, n3 = b.steps[1].n_out, b.steps[3].n_out
+        r1, _ = tbl.reverse_table_np(
+            np.asarray(b.unpool1)[:, None], n2,
+            src_mask=np.asarray(b.levels[1].node_mask) > 0,
+            r_pad=up_pads[0] if up_pads else None, granularity=1,
+        )
+        r2, _ = tbl.reverse_table_np(
+            np.asarray(b.unpool2)[:, None], n3,
+            src_mask=np.asarray(b.levels[2].node_mask) > 0,
+            r_pad=up_pads[1] if up_pads else None, granularity=1,
+        )
+        return b.replace(
+            levels=levels, steps=tuple(steps), unpool1_rev=r1, unpool2_rev=r2
+        )
+
+    nv = np.asarray(sample.v.x).shape[0]
+    fv_rev, _ = tbl.reverse_table_np(
+        np.asarray(sample.fv_indices), nv,
+        src_mask=np.asarray(sample.v.levels[0].node_mask) > 0,
+        r_pad=w.fv_r if w else None, granularity=granularity,
+    )
+    return sample.replace(
+        v=branch_tables(
+            sample.v, w.k_v if w else None, w.mem_v if w else None,
+            w.up_v if w else None,
+        ),
+        f=branch_tables(
+            sample.f, w.k_f if w else None, w.mem_f if w else None,
+            w.up_f if w else None,
+        ),
+        fv_rev=fv_rev,
+    )
+
+
 def build_dual_sample(
     mesh_n: TriMesh,
     mesh_o: TriMesh | None,

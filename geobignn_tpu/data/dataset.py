@@ -216,17 +216,25 @@ def process_one_mesh(
 
 
 class BaseDualDataset:
-    """Entries + shared SizePlan + padding-on-get (common machinery)."""
+    """Entries + shared SizePlan/TableWidths + padding-on-get (common
+    machinery).  `get` attaches the dense neighbor tables (ops/table.py)
+    with dataset-merged widths so every sample shares one XLA compile;
+    set `tables = False` to serve COO-only samples."""
 
     entries: list
     plan: structs.SizePlan | None
+    widths: "builder.TableWidths | None" = None
+    tables: bool = True
 
     def _compute_plan(self, granularity: int):
-        plan = None
-        for bv, bf, _, _, _ in self.entries:
+        plan, widths = None, None
+        for bv, bf, meta, _, _ in self.entries:
             p = builder.plan_for(bv, bf, granularity)
             plan = p if plan is None else plan.merge(p)
+            w = builder.widths_for(bv, bf, meta["fv_indices"])
+            widths = w if widths is None else widths.merge(w)
         self.plan = plan
+        self.widths = widths
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -241,7 +249,7 @@ class BaseDualDataset:
         fv[: meta["fv_indices"].shape[0]] = meta["fv_indices"]
         pairs = graphs.build_edge_fv(meta["fv_indices"])
         n_pairs_pad = 3 * plan.f.n1
-        return structs.DualSample(
+        sample = structs.DualSample(
             v=gv,
             f=gf,
             fv_indices=fv,
@@ -250,6 +258,9 @@ class BaseDualDataset:
             centroid=meta["centroid"].astype(np.float32),
             scale=np.float32(meta["scale"]),
         )
+        if getattr(self, "tables", True):
+            sample = builder.attach_tables(sample, getattr(self, "widths", None))
+        return sample
 
 
 class InMemoryDataset(BaseDualDataset):

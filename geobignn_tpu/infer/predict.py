@@ -104,6 +104,11 @@ class Predictor:
         mem = ds_mod.InMemoryDataset.__new__(ds_mod.InMemoryDataset)
         mem.entries = entries
         mem.plan = plan
+        widths = None  # merged over patches: one compile for all submeshes
+        for bv, bf, meta_, _, _ in entries:
+            w = builder.widths_for(bv, bf, meta_["fv_indices"])
+            widths = w if widths is None else widths.merge(w)
+        mem.widths = widths
 
         if len(entries) == 1:
             sample = mem.get(0)

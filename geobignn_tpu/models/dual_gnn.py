@@ -22,7 +22,8 @@ from flax import linen as nn
 
 from geobignn_tpu import geometry
 from geobignn_tpu.ops import segment
-from geobignn_tpu.ops.feastconv import FeastParams, feast_conv
+from geobignn_tpu.ops import table as tbl
+from geobignn_tpu.ops.feastconv import FeastParams, feast_conv, feast_conv_table
 from geobignn_tpu.structs import BranchGraph, DualSample, GraphLevel, PoolStep
 
 LEAKY_SLOPE = 0.2  # reference uses F.leaky_relu(x, 0.2) throughout
@@ -59,12 +60,19 @@ class FeaStConv(nn.Module):
                         w=w.astype(x.dtype), b=b.astype(x.dtype))
 
         def conv(p_, x_):
-            out = feast_conv(
-                p_, x_, level.edge_index,
-                deg=None if self.gp_axis else level.deg.astype(x.dtype),
-                psum_axis=self.gp_axis,
-                rows_sorted=self.rows_sorted,
-            )
+            if level.nbr is not None and self.gp_axis is None:
+                # scatter-free dense-table fast path (ops/table.py)
+                out = feast_conv_table(
+                    p_, x_, level.nbr, level.kmask, level.rev,
+                    deg=level.deg.astype(x.dtype),
+                )
+            else:
+                out = feast_conv(
+                    p_, x_, level.edge_index,
+                    deg=None if self.gp_axis else level.deg.astype(x.dtype),
+                    psum_axis=self.gp_axis,
+                    rows_sorted=self.rows_sorted,
+                )
             # restore the zero-trash invariant: the bias/self terms make
             # padded lanes nonzero, and the trash lane would otherwise
             # accumulate ALL padded (trash->trash) edges with deg 0 —
@@ -81,9 +89,17 @@ class FeaStConv(nn.Module):
 def pool_features(
     x: jax.Array, steps: tuple[PoolStep, ...], pool_type: str = "max"
 ) -> jax.Array:
-    """Apply coarsening rounds as segment reductions over static maps."""
+    """Apply coarsening rounds as segment reductions over static maps, or —
+    when member tables are attached — as scatter-free member gathers."""
     for st in steps:
-        if pool_type == "max":
+        if st.members is not None:
+            if pool_type == "max":
+                x = tbl.gather_pool_max(x, st.members, st.rev, st.mmask)
+            elif pool_type == "mean":
+                x = tbl.gather_pool_mean(x, st.members, st.rev, st.mmask)
+            else:
+                raise ValueError(pool_type)
+        elif pool_type == "max":
             x = segment.segment_max(x, st.cluster, st.n_out)
         elif pool_type == "mean":
             x = segment.segment_mean(x, st.cluster, st.n_out)
@@ -114,12 +130,19 @@ class GNNModule(nn.Module):
         x3 = act(FeaStConv(128, self.heads, self.gp_axis, name="l_conv3")(x3, l3))
         x3 = act(FeaStConv(128, self.heads, self.gp_axis, name="l_conv4")(x3, l3))
 
-        u2 = x3[branch.unpool2]  # copy-back unpooling (gather)
+        # copy-back unpooling (gather; scatter-free backward via rev tables)
+        if branch.unpool2_rev is not None:
+            u2 = tbl.gather_unpool(x3, branch.unpool2, branch.unpool2_rev)
+        else:
+            u2 = x3[branch.unpool2]
         u2 = FeaStConv(64, self.heads, self.gp_axis, name="r_conv1")(u2, l2)
         x2 = jnp.concatenate([x2, u2], axis=1)
         x2 = act(FeaStConv(64, self.heads, self.gp_axis, name="r_conv2")(x2, l2))
 
-        u1 = x2[branch.unpool1]
+        if branch.unpool1_rev is not None:
+            u1 = tbl.gather_unpool(x2, branch.unpool1, branch.unpool1_rev)
+        else:
+            u1 = x2[branch.unpool1]
         u1 = FeaStConv(32, self.heads, self.gp_axis, name="r_conv3")(u1, l1)
         x1 = jnp.concatenate([x1, u1], axis=1)
         return act(FeaStConv(32, self.heads, self.gp_axis, name="r_conv4")(x1, l1))
@@ -157,8 +180,15 @@ class DualGNN(nn.Module):
 
         # rebuild facet features from the denoised vertices (differentiable,
         # f32 — cross products are cancellation-sensitive)
-        face_cent = vert_p[sample.fv_indices].mean(axis=1)
-        face_norm = geometry.face_normals(vert_p, sample.fv_indices)
+        if sample.fv_rev is not None:  # scatter-free corner-gather backward
+            corners = tbl.table_gather(vert_p, sample.fv_indices, sample.fv_rev)
+            face_cent = corners.mean(axis=1)
+            face_norm = geometry.safe_normalize(
+                jnp.cross(corners[:, 1] - corners[:, 0], corners[:, 2] - corners[:, 0])
+            )
+        else:
+            face_cent = vert_p[sample.fv_indices].mean(axis=1)
+            face_norm = geometry.face_normals(vert_p, sample.fv_indices)
         x_f = jnp.concatenate([sample.f.x, face_cent, face_norm], axis=1)
 
         feat_f = GNNModule(

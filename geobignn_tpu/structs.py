@@ -70,19 +70,31 @@ class SizePlan:
 
 class GraphLevel(struct.PyTreeNode):
     """One resolution level of a graph: trash-padded COO edges + per-node
-    metadata.  N_pad == node_mask.shape[0]; trash slot == N_pad - 1."""
+    metadata.  N_pad == node_mask.shape[0]; trash slot == N_pad - 1.
+
+    The optional dense-table fields (ops/table.py) enable the scatter-free
+    FeaStConv fast path; `data.builder.attach_tables` fills them."""
 
     edge_index: jax.Array  # (2, E_pad) int32
     edge_weight: jax.Array  # (E_pad,) f32, 0 on padding
     deg: jax.Array  # (N_pad,) f32 — real-edge in-degree
     node_mask: jax.Array  # (N_pad,) f32 — 1.0 on valid nodes
+    nbr: jax.Array | None = None  # (N_pad, K) int32 neighbor table
+    kmask: jax.Array | None = None  # (N_pad, K) f32
+    rev: jax.Array | None = None  # (N_pad, R) int32 reverse table
 
 
 class PoolStep(struct.PyTreeNode):
-    """One coarsening round: fine-slot -> coarse-slot scatter map."""
+    """One coarsening round: fine-slot -> coarse-slot scatter map.
+
+    With the optional member tables the reduction becomes a gather over
+    <=m_pad members per coarse slot (scatter-free both directions)."""
 
     cluster: jax.Array  # (N_in_pad,) int32; padding -> coarse trash
     n_out: int = struct.field(pytree_node=False)  # coarse padded size (static)
+    members: jax.Array | None = None  # (n_out, m_pad) int32 fine slots
+    mmask: jax.Array | None = None  # (n_out, m_pad) f32
+    rev: jax.Array | None = None  # (N_in_pad, 1) int32 position in members
 
 
 class BranchGraph(struct.PyTreeNode):
@@ -95,6 +107,8 @@ class BranchGraph(struct.PyTreeNode):
     unpool1: jax.Array  # (N1_pad,) int32 -> level-2 slot
     unpool2: jax.Array  # (N2_pad,) int32 -> level-3 slot
     depth_direction: jax.Array | None = None  # (N1_pad, 3) Kinect depth rays
+    unpool1_rev: jax.Array | None = None  # (N2_pad, R) scatter-free unpool bwd
+    unpool2_rev: jax.Array | None = None  # (N3_pad, R)
 
 
 class DualSample(struct.PyTreeNode):
@@ -107,6 +121,7 @@ class DualSample(struct.PyTreeNode):
     edge_dual_f: jax.Array  # (3Ff_pad,) face side of incidence pairs
     centroid: jax.Array  # (1, 3)
     scale: jax.Array  # () f32
+    fv_rev: jax.Array | None = None  # (Nv_pad, R) scatter-free fv-gather bwd
 
 
 # --------------------------------------------------------------------------
