@@ -1,0 +1,134 @@
+"""Halo-sharded TRAINING (grad + Adam under shard_map) == single-device.
+
+Completes the halo stack: forward parity and gradient parity are pinned in
+test_halo_model.py; here the full optimizer trajectory over 4-way halo
+shards must track single-device full-batch training on the same mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from geobignn_tpu import structs as st
+from geobignn_tpu.data import synth
+from geobignn_tpu.data.builder import BuildConfig, build_raw, plan_for, _pad_branch
+from geobignn_tpu.models import DualGNN
+from geobignn_tpu.parallel import halo_train as ht
+from geobignn_tpu.parallel.api import make_mesh
+
+
+def _single_device_sample(m_n, m_o, cfg, hs, seed=1):
+    """Pad a single-device DualSample over the same hierarchies the halo
+    sample used (owners constrain clustering, so specs must be shared)."""
+    from geobignn_tpu.parallel import partition as hp
+    from geobignn_tpu.pool.hierarchy import build_hierarchy
+
+    bv, bf, meta = build_raw(m_n, m_o, cfg)
+    n_parts = hs.structure.v.levels[0].n_parts
+    owner_v = hp.partition_nodes(bv.edge_index, bv.n_nodes, n_parts, seed=seed)
+    owner_f = owner_v[meta["fv_indices"][:, 0]].astype(np.int32)
+    bv.specs = build_hierarchy(bv.edge_index, bv.edge_weight, bv.x, bv.n_nodes,
+                               owner=owner_v, weight_type=cfg.weight_type)
+    bf.specs = build_hierarchy(bf.edge_index, bf.edge_weight, bf.x, bf.n_nodes,
+                               owner=owner_f, weight_type=cfg.weight_type)
+    plan = plan_for(bv, bf, cfg.granularity)
+    gv, gf = _pad_branch(bv, plan.v), _pad_branch(bf, plan.f)
+    trash_v = plan.v.n1 - 1
+    fv_pad = np.full((plan.f.n1, 3), trash_v, np.int32)
+    fv_pad[: bf.n_nodes] = meta["fv_indices"]
+    return st.DualSample(
+        v=gv, f=gf, fv_indices=fv_pad,
+        edge_dual_v=np.zeros(1, np.int32), edge_dual_f=np.zeros(1, np.int32),
+        centroid=meta["centroid"].astype(np.float32),
+        scale=np.float32(meta["scale"]),
+    )
+
+
+def test_halo_training_matches_single_device():
+    n_parts, k_steps = 4, 3
+    m_o = synth.icosphere(2)
+    m_n = synth.add_noise(m_o, 0.2, seed=1)
+    cfg = BuildConfig(granularity=16)
+    hs = ht.build_halo_train_sample(m_n, m_o, cfg, n_parts, seed=1)
+    sample = _single_device_sample(m_n, m_o, cfg, hs)
+
+    model = DualGNN()
+    params0 = model.init(jax.random.PRNGKey(0), sample)
+    tx = optax.adam(1e-3)
+
+    # ---- single-device trajectory
+    def loss_fn(p):
+        v, nrm = model.apply(p, sample)
+        mv = sample.v.levels[0].node_mask
+        mf = sample.f.levels[0].node_mask
+        lv = (jnp.abs(v - sample.v.y).sum(1) * mv).sum() / mv.sum()
+        ln = (jnp.abs(nrm - sample.f.y).sum(1) * mf).sum() / mf.sum()
+        return lv + ln
+
+    @jax.jit
+    def ref_step(p, o):
+        g = jax.grad(loss_fn)(p)
+        u, o = tx.update(g, o, p)
+        return jax.tree.map(lambda a, b: a + b, p, u), o
+
+    p_ref, o_ref = params0, tx.init(params0)
+    for _ in range(k_steps):
+        p_ref, o_ref = ref_step(p_ref, o_ref)
+
+    # ---- halo trajectory: all k steps fused in one dispatch
+    p_halo = jax.tree.map(np.asarray, params0["params"])
+    o_halo = tx.init(p_halo)
+    mesh = make_mesh(1, n_parts)
+    step = ht.make_halo_train_step(tx, mesh, hs.arrays, n_steps=k_steps)
+    arrays = jax.tree.map(jnp.asarray, hs.arrays)
+    p_halo, o_halo, metrics = step(p_halo, o_halo, arrays, jax.random.PRNGKey(7))
+
+    assert np.isfinite(float(metrics["loss"]))
+    ref_flat = dict(
+        ("/".join(str(getattr(k, "key", k)) for k in path), leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(p_ref["params"])
+    )
+    checked = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(p_halo):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref_flat[name]), atol=2e-4, err_msg=name
+        )
+        checked += 1
+    assert checked == 72
+
+
+def test_halo_training_loss_decreases_with_augment():
+    n_parts = 4
+    m_o = synth.icosphere(2)
+    m_n = synth.add_noise(m_o, 0.2, seed=2)
+    cfg = BuildConfig(granularity=16)
+    hs = ht.build_halo_train_sample(m_n, m_o, cfg, n_parts, seed=2)
+
+    sample = _single_device_sample(m_n, m_o, cfg, hs, seed=2)
+    model = DualGNN()
+    params = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(1), sample)["params"])
+    tx = optax.adam(2e-3)
+    opt_state = tx.init(params)
+
+    mesh = make_mesh(1, n_parts)
+    arrays = jax.tree.map(jnp.asarray, hs.arrays)
+    step = ht.make_halo_train_step(tx, mesh, hs.arrays, augment=True, n_steps=5)
+
+    losses = []
+    rng = jax.random.PRNGKey(3)
+    for i in range(4):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, m = step(params, opt_state, arrays, sub)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+    # sharded inference path on the trained params
+    fwd = ht.make_halo_forward(mesh, hs.arrays)
+    v_loc, n_loc = fwd(params, arrays)
+    v, n = ht.unshard_predictions(hs, v_loc, n_loc)
+    assert v.shape == (hs.n_v, 3) and n.shape == (hs.n_f, 3)
+    assert np.isfinite(v).all() and np.isfinite(n).all()
+    # predicted normals are unit length
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
