@@ -59,6 +59,10 @@ class Config:
     # TPU-native extras
     augment: bool = True  # random SO(3) rotation during training
     preload: bool = True  # cache padded samples on device (fits small corpora)
+    prefetch_depth: int = 2  # background fetches in flight when not preloading
+    buckets_growth: float = 0.0  # >1: geometric SizePlan buckets (streaming
+    # mode only) instead of one dataset-wide merged plan; bounds padding
+    # waste by the growth factor at the cost of one compile per bucket
     preprocess_seed: int = 0  # hierarchy-matching seed; FIXED by default so
     # the content-hash preprocessing cache hits across runs (the training
     # seed must not leak into cache keys)

@@ -225,6 +225,7 @@ class BaseDualDataset:
     plan: structs.SizePlan | None
     widths: "builder.TableWidths | None" = None
     tables: bool = True
+    bucket_of: list | None = None  # entry -> bucket id (bucketize())
 
     def _compute_plan(self, granularity: int):
         plan, widths = None, None
@@ -236,11 +237,50 @@ class BaseDualDataset:
         self.plan = plan
         self.widths = widths
 
+    def bucketize(self, growth: float = 1.5) -> int:
+        """Group entries into geometric size buckets, each with its own
+        merged SizePlan/TableWidths; `get` then pads each entry to its
+        bucket's plan instead of the dataset-wide maximum.
+
+        One merged plan over-pads badly when mesh sizes span decades (a
+        300-face patch padded to a 20k-face plan wastes ~98% of every
+        conv).  Buckets trade that padding for one extra XLA compile per
+        bucket — with `growth`-spaced bucket edges the padding overhead is
+        bounded by the growth factor.  Returns the number of buckets."""
+        import math
+
+        if growth <= 1.0:
+            raise ValueError("growth must be > 1")
+        sizes = [bv.n_nodes + bf.n_nodes for bv, bf, _, _, _ in self.entries]
+        base = max(min(sizes), 1)
+        raw = [int(math.floor(math.log(s / base) / math.log(growth) + 1e-9)) for s in sizes]
+        buckets = sorted(set(raw))
+        remap = {b: i for i, b in enumerate(buckets)}
+        self.bucket_of = [remap[r] for r in raw]
+        gran = self.build_cfg.granularity
+        self._bucket_plans = [None] * len(buckets)
+        self._bucket_widths = [None] * len(buckets)
+        for i, (bv, bf, meta, _, _) in enumerate(self.entries):
+            b = self.bucket_of[i]
+            p = builder.plan_for(bv, bf, gran)
+            w = builder.widths_for(bv, bf, meta["fv_indices"])
+            self._bucket_plans[b] = (
+                p if self._bucket_plans[b] is None else self._bucket_plans[b].merge(p)
+            )
+            self._bucket_widths[b] = (
+                w if self._bucket_widths[b] is None else self._bucket_widths[b].merge(w)
+            )
+        return len(buckets)
+
     def __len__(self) -> int:
         return len(self.entries)
 
     def get(self, idx: int, plan: structs.SizePlan | None = None) -> structs.DualSample:
         bv, bf, meta, _, _ = self.entries[idx]
+        widths = getattr(self, "widths", None)
+        if plan is None and self.bucket_of is not None:
+            plan = self._bucket_plans[self.bucket_of[idx]]
+            widths = self._bucket_widths[self.bucket_of[idx]]
         plan = plan or self.plan
         gv = builder._pad_branch(bv, plan.v)
         gf = builder._pad_branch(bf, plan.f)
@@ -259,7 +299,7 @@ class BaseDualDataset:
             scale=np.float32(meta["scale"]),
         )
         if getattr(self, "tables", True):
-            sample = builder.attach_tables(sample, getattr(self, "widths", None))
+            sample = builder.attach_tables(sample, widths)
         return sample
 
 

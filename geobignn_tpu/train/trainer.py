@@ -64,6 +64,16 @@ class Trainer:
         self.plan = train_ds.plan
         if eval_ds is not None and eval_ds.plan is not None:
             self.plan = self.plan.merge(eval_ds.plan)
+        # bucketed streaming mode: per-bucket plans instead of one merged
+        # plan (each dataset buckets independently; get(idx, None) then pads
+        # to the entry's bucket plan).  Incompatible with preload stacking.
+        self.bucketed = cfg.buckets_growth > 1.0 and not cfg.preload
+        if self.bucketed:
+            n_b = train_ds.bucketize(cfg.buckets_growth)
+            if eval_ds is not None and len(eval_ds):
+                eval_ds.bucketize(cfg.buckets_growth)
+            print(f"bucketed SizePlans: {n_b} train buckets "
+                  f"(growth {cfg.buckets_growth})")
 
         self.model = DualGNN(
             force_depth=cfg.force_depth, pool_type=cfg.pool_type, heads=cfg.heads,
@@ -205,9 +215,10 @@ class Trainer:
             )
             n_steps = len(order)
         elif cfg.batch_size == 1:
-            # one dispatch per step, zero host syncs in the loop
-            for idx in order:
-                sample = self._get(self.train_ds, "t", int(idx))
+            # one dispatch per step, zero host syncs in the loop; when not
+            # preloaded, a background thread pads + device_puts ahead
+            # (data/prefetch.py) so H2D overlaps the device step
+            for sample in self._samples(self.train_ds, "t", order):
                 key = jax.random.PRNGKey(int(rng.integers(1 << 31)))
                 self.params, self.opt_state, m_acc = self._fused(
                     self.params, self.opt_state, m_acc, sample, key, cfg.augment
@@ -216,8 +227,7 @@ class Trainer:
         else:
             acc = None
             n_acc = 0
-            for step, idx in enumerate(order):
-                sample = self._get(self.train_ds, "t", int(idx))
+            for step, sample in enumerate(self._samples(self.train_ds, "t", order)):
                 key = jax.random.PRNGKey(int(rng.integers(1 << 31)))
                 grads, metrics = self._grad(self.params, sample, key, cfg.augment)
                 acc = grads if acc is None else self._acc(acc, grads)
@@ -240,12 +250,23 @@ class Trainer:
         """Padded sample, device-cached when cfg.preload (host padding and
         H2D transfer dominate step time otherwise — the device step itself
         is sub-millisecond)."""
+        plan = None if self.bucketed else self.plan
         if not self.cfg.preload:
-            return ds.get(idx, self.plan)
+            return jax.device_put(ds.get(idx, plan))
         key = (tag, idx)
         if key not in self._cache:
-            self._cache[key] = jax.device_put(ds.get(idx, self.plan))
+            self._cache[key] = jax.device_put(ds.get(idx, plan))
         return self._cache[key]
+
+    def _samples(self, ds, tag: str, order):
+        """Samples in `order`; streaming mode prefetches in the background."""
+        if self.cfg.preload:
+            return (self._get(ds, tag, int(i)) for i in order)
+        from geobignn_tpu.data.prefetch import prefetch_iter
+
+        return prefetch_iter(
+            order, lambda i: self._get(ds, tag, int(i)), self.cfg.prefetch_depth
+        )
 
     def _run_epoch_sharded(self, rng: np.random.Generator, logger=None):
         """One epoch on the dp x gp mesh: global batches of dp*batch_size
@@ -282,8 +303,8 @@ class Trainer:
             return None
         # accumulate node-weighted sums on device; sync once at the end
         sums = {k: jnp.zeros(()) for k in ("loss_v", "loss_f", "error_v", "error_f", "n_v", "n_f")}
-        for i in range(len(self.eval_ds)):
-            m = self._eval(self.params, self._get(self.eval_ds, "e", i))
+        for sample in self._samples(self.eval_ds, "e", range(len(self.eval_ds))):
+            m = self._eval(self.params, sample)
             w = dict(
                 loss_v=m["loss_v"] * m["n_v"],
                 error_v=m["error_v"] * m["n_v"],
