@@ -69,6 +69,10 @@ class Config:
     granularity: int = 128
     dp: int = 1
     gp: int = 1
+    dcn: int = 1  # cross-host data-parallel replicas (multi-host pods)
+    auto_resume: bool = False  # continue the latest run of this
+    # data_type/flag from its ckpt_last (fault-tolerant restart: rerun the
+    # same command after preemption and training resumes exactly)
     precision: str = "float32"  # float32 | bfloat16
     log_dir: str = "log"
 

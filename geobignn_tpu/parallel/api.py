@@ -33,11 +33,42 @@ from geobignn_tpu.models import losses
 from geobignn_tpu.structs import DualSample
 
 
-def make_mesh(dp: int, gp: int, devices=None) -> Mesh:
+def make_mesh(dp: int, gp: int, devices=None, dcn: int = 1) -> Mesh:
+    """Device mesh for SPMD training.
+
+    dcn > 1 adds a leading cross-host data-parallel axis: devices are laid
+    out (dcn, dp, gp) so that the fast-collective axes ("dp" grad
+    reduction, "gp" per-conv psums) ride ICI within a host/slice while only
+    the once-per-step gradient pmean crosses the DCN axis.  On real
+    multi-host pods call `distributed_init()` first so jax.devices() spans
+    all processes; device order groups same-host devices contiguously,
+    matching this layout."""
     devices = jax.devices() if devices is None else devices
-    assert len(devices) >= dp * gp, f"need {dp * gp} devices, have {len(devices)}"
-    dev = np.asarray(devices[: dp * gp]).reshape(dp, gp)
+    need = dcn * dp * gp
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    if dcn > 1:
+        dev = np.asarray(devices[:need]).reshape(dcn, dp, gp)
+        return Mesh(dev, ("dcn", "dp", "gp"))
+    dev = np.asarray(devices[:need]).reshape(dp, gp)
     return Mesh(dev, ("dp", "gp"))
+
+
+def distributed_init(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize cross-host JAX (DCN).  A no-op when the runtime is
+    single-process (e.g. the CPU test mesh or one tunneled chip); on a real
+    multi-host pod arguments default from the cluster environment."""
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    try:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+    except (ValueError, RuntimeError):
+        pass  # single-process environment: nothing to join
+
+
+def _dp_axes(mesh: Mesh) -> tuple[str, ...]:
+    """Mesh axes the batch is split over (everything except "gp")."""
+    return tuple(a for a in mesh.axis_names if a != "gp")
 
 
 def stack_samples(samples: list[DualSample]) -> DualSample:
@@ -48,9 +79,11 @@ def stack_samples(samples: list[DualSample]) -> DualSample:
 _EDGE_LEAVES = {"edge_index", "edge_weight"}
 
 
-def batch_pspecs(batched: DualSample) -> Any:
-    """PartitionSpec pytree for a batched sample: batch axis on "dp";
-    edge arrays additionally sharded on "gp" along the edge axis."""
+def batch_pspecs(batched: DualSample, dp_axes: tuple[str, ...] = ("dp",)) -> Any:
+    """PartitionSpec pytree for a batched sample: batch axis over `dp_axes`
+    (("dcn", "dp") on a multi-host mesh); edge arrays additionally sharded
+    on "gp" along the edge axis."""
+    b = dp_axes[0] if len(dp_axes) == 1 else tuple(dp_axes)
 
     def spec(path, leaf):
         name = None
@@ -59,10 +92,10 @@ def batch_pspecs(batched: DualSample) -> Any:
                 name = k.name
                 break
         if name == "edge_index":  # (B, 2, E)
-            return P("dp", None, "gp")
+            return P(b, None, "gp")
         if name == "edge_weight":  # (B, E)
-            return P("dp", "gp")
-        return P("dp", *([None] * (leaf.ndim - 1)))
+            return P(b, "gp")
+        return P(b, *([None] * (leaf.ndim - 1)))
 
     return jax.tree_util.tree_map_with_path(spec, batched)
 
@@ -106,10 +139,11 @@ def make_sharded_train_step(
     from geobignn_tpu.data import augment as aug
 
     cfg = loss_cfg or {}
-    specs = batch_pspecs(batched_sample)
+    dp_axes = _dp_axes(mesh)
+    specs = batch_pspecs(batched_sample, dp_axes)
 
     def local_step(params, opt_state, batch, rng):
-        rank = jax.lax.axis_index("dp")
+        rank = jax.lax.axis_index(dp_axes)
 
         def loss_fn(p, sample):
             return dual_loss_and_metrics(model, p, sample, cfg)
@@ -130,7 +164,7 @@ def make_sharded_train_step(
         # initial accumulators must carry the same varying-axes type as the
         # body outputs (dp-varying, since the batch is dp-sharded)
         vary = lambda t: jax.tree.map(
-            lambda a: jax.lax.pcast(a, ("dp",), to="varying"), t
+            lambda a: jax.lax.pcast(a, dp_axes, to="varying"), t
         )
         zeros_g = vary(jax.tree.map(jax.numpy.zeros_like, params))
         zeros_m = vary({
@@ -146,11 +180,11 @@ def make_sharded_train_step(
         # type (the scan carry forced dp-varying), then we normalize by the
         # global batch.  Metrics are genuinely dp-varying per-rank means.
         b_local = jax.tree.leaves(batch)[0].shape[0]
-        b_global = b_local * jax.lax.axis_size("dp")
-        grads = jax.lax.pmean(grads, "dp")
+        b_global = b_local * jax.lax.axis_size(dp_axes)
+        grads = jax.lax.pmean(grads, dp_axes)
         grads = jax.tree.map(lambda g: g / b_global, grads)
         metrics = jax.tree.map(lambda m: m / b_local, metrics)
-        metrics = jax.lax.pmean(metrics, "dp")
+        metrics = jax.lax.pmean(metrics, dp_axes)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, metrics

@@ -91,19 +91,19 @@ class Trainer:
         self._cache: dict = {}
         self._build_steps()
 
-        # multi-chip SPMD path: dp x gp mesh, stacked global batch per step
+        # multi-chip SPMD path: (dcn x) dp x gp mesh, stacked global batch
         self._sharded_step = None
-        self.n_chips = cfg.dp * cfg.gp
+        self.n_chips = cfg.dcn * cfg.dp * cfg.gp
         if self.n_chips > 1:
             from geobignn_tpu import parallel
 
-            self._mesh = parallel.make_mesh(cfg.dp, cfg.gp)
+            self._mesh = parallel.make_mesh(cfg.dp, cfg.gp, dcn=cfg.dcn)
             model_sh = DualGNN(
                 force_depth=cfg.force_depth, pool_type=cfg.pool_type,
                 heads=cfg.heads, gp_axis="gp",
                 compute_dtype=self.model.compute_dtype,
             )
-            self._global_batch = cfg.dp * cfg.batch_size
+            self._global_batch = cfg.dcn * cfg.dp * cfg.batch_size
             batch0 = parallel.stack_samples(
                 [sample0] * self._global_batch
             )
@@ -395,6 +395,19 @@ def make_run_dir(cfg: Config) -> str:
     return run_dir
 
 
+def find_resumable_run(cfg: Config) -> str | None:
+    """Latest run dir of this data_type/flag that has a ckpt_last.pkl
+    (fault-tolerant restart: rerun the same command, training continues)."""
+    base = os.path.join(cfg.log_dir, f"GeoBi-GNN_{cfg.data_type}_{cfg.flag}")
+    if not os.path.isdir(base):
+        return None
+    runs = sorted(
+        d for d in os.listdir(base)
+        if os.path.exists(os.path.join(base, d, "ckpt_last.pkl"))
+    )
+    return os.path.join(base, runs[-1]) if runs else None
+
+
 def train(cfg: Config, dataset_root: str | None = None) -> str:
     """Full training entry: datasets from disk, run-dir artifacts, fit."""
     import sys
@@ -406,7 +419,8 @@ def train(cfg: Config, dataset_root: str | None = None) -> str:
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
 
-    run_dir = make_run_dir(cfg)
+    resume_dir = find_resumable_run(cfg) if cfg.auto_resume else None
+    run_dir = resume_dir or make_run_dir(cfg)
     sys.stdout = Tee(os.path.join(run_dir, "training_info.txt"))
     print(f"Training flag: {cfg.flag}  seed: {cfg.seed}\nrun_dir: {run_dir}")
     cfg.to_json(os.path.join(run_dir, "params.json"))
@@ -433,7 +447,10 @@ def train(cfg: Config, dataset_root: str | None = None) -> str:
     print(f"Training set: {len(train_ds)} samples; eval: {len(eval_ds)}")
 
     trainer = Trainer(cfg, train_ds, eval_ds, run_dir)
-    if cfg.restore and cfg.model_path:
+    if resume_dir is not None:
+        trainer.restore(os.path.join(resume_dir, "ckpt_last.pkl"))
+        print(f"auto-resume: continuing {resume_dir} at epoch {trainer.epoch}")
+    elif cfg.restore and cfg.model_path:
         trainer.restore(cfg.model_path)
     logger = MetricLogger(os.path.join(run_dir, "metrics.jsonl"))
 
