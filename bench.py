@@ -55,14 +55,18 @@ def main():
 
     from geobignn_tpu.data.batching import union_batch
 
+    from geobignn_tpu.data.builder import widths_for
+
     m_o = synth.icosphere(subdiv)
     m_n = synth.add_noise(m_o, 0.2, seed=0)
-    bc = BuildConfig(granularity=256)
-    bv, bf, _ = build_raw(m_n, m_o, bc)
+    bc = BuildConfig(granularity=256, reorder=True)
+    bv, bf, meta = build_raw(m_n, m_o, bc)
     msgs = (messages_per_step(bv) + messages_per_step(bf)) * batch_size
     single, _ = build_dual_sample(m_n, m_o, bc)
-    # dense neighbor tables AFTER union: the scatter-free fast path
-    sample = attach_tables(union_batch([single] * batch_size))
+    # after union: dense neighbor tables (levels 2-3) + level-1 band masks
+    # for the gather-free banded Pallas convs (ops/banded_pallas.py)
+    widths = widths_for(bv, bf, meta["fv_indices"], with_bands=True)
+    sample = attach_tables(union_batch([single] * batch_size), widths)
 
     cfg = Config(granularity=256)
     model = DualGNN()

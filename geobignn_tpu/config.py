@@ -67,6 +67,7 @@ class Config:
     # the content-hash preprocessing cache hits across runs (the training
     # seed must not leak into cache keys)
     granularity: int = 128
+    reorder: bool = True  # RCM node ordering -> banded gather-free convs
     dp: int = 1
     gp: int = 1
     dcn: int = 1  # cross-host data-parallel replicas (multi-host pods)
@@ -93,6 +94,7 @@ class Config:
             with_depth=self.force_depth,
             granularity=self.granularity,
             seed=self.preprocess_seed,
+            reorder=self.reorder,
         )
 
     def loss_cfg(self) -> dict:

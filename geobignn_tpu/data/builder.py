@@ -43,6 +43,10 @@ class BuildConfig:
     with_depth: bool = False  # Kinect_v1/v2: keep depth_direction
     scale_type: int = 0
     granularity: int = 128  # padded-size rounding
+    reorder: bool = False  # RCM-permute vertices/faces at build time so the
+    # level-1 graphs are band-limited, enabling the gather-free banded
+    # FeaStConv kernels (ops/banded_pallas.py).  meta records perm_v/perm_f;
+    # inference un-permutes predictions (infer/predict.py).
 
 
 @dataclasses.dataclass
@@ -76,6 +80,26 @@ def _build_branch(x, y, ei, w, n, cfg: BuildConfig, seed, depth=None) -> RawBran
     return RawBranch(x, y, ei, w, specs, n, depth)
 
 
+def rcm_reorder_meshes(
+    mesh_n: TriMesh, mesh_o: TriMesh | None
+) -> tuple[TriMesh, TriMesh | None, np.ndarray, np.ndarray]:
+    """RCM-permute vertices and faces of a mesh pair (identical
+    connectivity) so both level-1 graphs are band-limited.  Returns
+    (mesh_n', mesh_o', perm_v, perm_f) with perm[new_slot] = old_id."""
+    from geobignn_tpu.ops import banded
+
+    ei_v = graphs.build_vertex_graph_1ring(mesh_n.ev_indices, mesh_n.n_vertices)
+    perm_v = banded.rcm_order(ei_v.astype(np.int64), mesh_n.n_vertices)
+    inv_v = np.empty(mesh_n.n_vertices, np.int64)
+    inv_v[perm_v] = np.arange(mesh_n.n_vertices)
+    ei_f = graphs.build_facet_graph(mesh_n.fv_indices, mesh_n.vf_indices)
+    perm_f = banded.rcm_order(ei_f.astype(np.int64), mesh_n.n_faces)
+    fv_new = inv_v[mesh_n.fv_indices[perm_f]].astype(mesh_n.fv_indices.dtype)
+    m_n = TriMesh(mesh_n.points[perm_v], fv_new)
+    m_o = None if mesh_o is None else TriMesh(mesh_o.points[perm_v], fv_new.copy())
+    return m_n, m_o, perm_v, perm_f
+
+
 def build_raw(
     mesh_n: TriMesh,
     mesh_o: TriMesh | None,
@@ -87,6 +111,9 @@ def build_raw(
 
     centroid/scale may be passed in (submesh patches normalize with the
     FULL mesh's frame, reference code/dataset.py:140,151-152)."""
+    perm_v = perm_f = None
+    if cfg.reorder:
+        mesh_n, mesh_o, perm_v, perm_f = rcm_reorder_meshes(mesh_n, mesh_o)
     pts = mesh_n.points
     if centroid is None or scale is None:
         _, centroid, scale = geometry.center_and_scale_np(
@@ -119,6 +146,9 @@ def build_raw(
     bf = _build_branch(x_f, y_f, ei_f, w_f, mesh_n.n_faces, cfg, cfg.seed + 7)
 
     meta = dict(centroid=centroid, scale=scale, fv_indices=mesh_n.fv_indices)
+    if perm_v is not None:
+        meta["perm_v"] = perm_v  # new slot -> original id (for un-permuting
+        meta["perm_f"] = perm_f  # predictions at inference)
     return bv, bf, meta
 
 
@@ -171,6 +201,8 @@ class TableWidths:
     up_v: tuple[int, int]
     up_f: tuple[int, int]
     fv_r: int
+    tile_v: int = 0  # banded-conv tile (0 = level-1 graph not band-limited /
+    tile_f: int = 0  # reorder off); merged as max like every other width
 
     def merge(self, other: "TableWidths") -> "TableWidths":
         mx = lambda a, b: tuple(max(x, y) for x, y in zip(a, b))
@@ -179,14 +211,19 @@ class TableWidths:
             mem_v=mx(self.mem_v, other.mem_v), mem_f=mx(self.mem_f, other.mem_f),
             up_v=mx(self.up_v, other.up_v), up_f=mx(self.up_f, other.up_f),
             fv_r=max(self.fv_r, other.fv_r),
+            tile_v=max(self.tile_v, other.tile_v) if self.tile_v and other.tile_v else 0,
+            tile_f=max(self.tile_f, other.tile_f) if self.tile_f and other.tile_f else 0,
         )
 
 
 def widths_for(
-    bv: RawBranch, bf: RawBranch, fv_indices: np.ndarray, granularity: int = 8
+    bv: RawBranch, bf: RawBranch, fv_indices: np.ndarray, granularity: int = 8,
+    with_bands: bool = False,
 ) -> TableWidths:
     """Exact table maxima of one raw sample (cheap bincounts, no tables),
-    rounded up to `granularity` where the width scales with mesh degree."""
+    rounded up to `granularity` where the width scales with mesh degree.
+    with_bands (requires BuildConfig.reorder): also record the banded-conv
+    tiles from the level-1 graph bandwidths."""
     g = granularity
 
     def branch_widths(b: RawBranch):
@@ -217,7 +254,13 @@ def widths_for(
     fv_r = structs.round_up(
         int(np.bincount(fv_indices.reshape(-1), minlength=bv.n_nodes).max()), g
     )
-    return TableWidths(k_v, k_f, mem_v, mem_f, up_v, up_f, fv_r)
+    tile_v = tile_f = 0
+    if with_bands:
+        from geobignn_tpu.ops import banded
+
+        tile_v = banded.pick_tile(banded.bandwidth_of(bv.edge_index))
+        tile_f = banded.pick_tile(banded.bandwidth_of(bf.edge_index))
+    return TableWidths(k_v, k_f, mem_v, mem_f, up_v, up_f, fv_r, tile_v, tile_f)
 
 
 def attach_tables(
@@ -288,17 +331,33 @@ def attach_tables(
         src_mask=np.asarray(sample.v.levels[0].node_mask) > 0,
         r_pad=w.fv_r if w else None, granularity=granularity,
     )
-    return sample.replace(
-        v=branch_tables(
-            sample.v, w.k_v if w else None, w.mem_v if w else None,
-            w.up_v if w else None,
-        ),
-        f=branch_tables(
-            sample.f, w.k_f if w else None, w.mem_f if w else None,
-            w.up_f if w else None,
-        ),
-        fv_rev=fv_rev,
+    new_v = branch_tables(
+        sample.v, w.k_v if w else None, w.mem_v if w else None,
+        w.up_v if w else None,
     )
+    new_f = branch_tables(
+        sample.f, w.k_f if w else None, w.mem_f if w else None,
+        w.up_f if w else None,
+    )
+    if w is not None and w.tile_v and w.tile_f:
+        new_v = attach_band(new_v, w.tile_v)
+        new_f = attach_band(new_f, w.tile_f)
+    return sample.replace(v=new_v, f=new_f, fv_rev=fv_rev)
+
+
+def attach_band(branch: structs.BranchGraph, tile: int) -> structs.BranchGraph:
+    """Attach the level-1 band mask (ops/banded.py) to an RCM-ordered
+    branch.  Safe after union_batch: components occupy contiguous id
+    ranges, so per-component bandwidth is preserved and cross-component
+    window slots are simply absent from the mask."""
+    from geobignn_tpu.ops import banded
+
+    lvl1 = branch.levels[0]
+    n1 = np.asarray(lvl1.node_mask).shape[0]
+    n_band = structs.round_up(n1, tile)
+    ei = np.asarray(lvl1.edge_index)
+    mask = banded.band_mask_np(ei, n_band, tile)
+    return branch.replace(levels=(lvl1.replace(band=mask),) + branch.levels[1:])
 
 
 def build_dual_sample(

@@ -101,6 +101,9 @@ def save_raw_sample(path, bv, bf, meta, v_idx=None, f_idx=None):
     d["centroid"] = meta["centroid"]
     d["scale"] = np.float32(meta["scale"])
     d["fv_indices"] = meta["fv_indices"]
+    if "perm_v" in meta:
+        d["perm_v"] = meta["perm_v"]
+        d["perm_f"] = meta["perm_f"]
     if v_idx is not None:
         d["V_idx"] = v_idx
     if f_idx is not None:
@@ -116,6 +119,9 @@ def load_raw_sample(path):
     meta = dict(
         centroid=d["centroid"], scale=float(d["scale"]), fv_indices=d["fv_indices"]
     )
+    if "perm_v" in d:
+        meta["perm_v"] = d["perm_v"]
+        meta["perm_f"] = d["perm_f"]
     v_idx = d.get("V_idx")
     f_idx = d.get("F_idx")
     return bv, bf, meta, v_idx, f_idx
@@ -232,7 +238,10 @@ class BaseDualDataset:
         for bv, bf, meta, _, _ in self.entries:
             p = builder.plan_for(bv, bf, granularity)
             plan = p if plan is None else plan.merge(p)
-            w = builder.widths_for(bv, bf, meta["fv_indices"])
+            w = builder.widths_for(
+                bv, bf, meta["fv_indices"],
+                with_bands=self.build_cfg.reorder,
+            )
             widths = w if widths is None else widths.merge(w)
         self.plan = plan
         self.widths = widths
@@ -263,7 +272,9 @@ class BaseDualDataset:
         for i, (bv, bf, meta, _, _) in enumerate(self.entries):
             b = self.bucket_of[i]
             p = builder.plan_for(bv, bf, gran)
-            w = builder.widths_for(bv, bf, meta["fv_indices"])
+            w = builder.widths_for(
+                bv, bf, meta["fv_indices"], with_bands=self.build_cfg.reorder
+            )
             self._bucket_plans[b] = (
                 p if self._bucket_plans[b] is None else self._bucket_plans[b].merge(p)
             )

@@ -104,29 +104,44 @@ class Predictor:
         mem = ds_mod.InMemoryDataset.__new__(ds_mod.InMemoryDataset)
         mem.entries = entries
         mem.plan = plan
+        mem.build_cfg = bc
         widths = None  # merged over patches: one compile for all submeshes
         for bv, bf, meta_, _, _ in entries:
-            w = builder.widths_for(bv, bf, meta_["fv_indices"])
+            w = builder.widths_for(bv, bf, meta_["fv_indices"],
+                                   with_bands=bc.reorder)
             widths = w if widths is None else widths.merge(w)
         mem.widths = widths
+
+        def unpermute(arr, perm):
+            """Predictions are in the build-time RCM order; map back."""
+            if perm is None:
+                return arr
+            out = np.empty_like(arr)
+            out[perm] = arr
+            return out
 
         if len(entries) == 1:
             sample = mem.get(0)
             vert_p, norm_p = self._apply(self.params, sample)
             nv, nf = mesh_n.n_vertices, mesh_n.n_faces
-            vp = np.asarray(vert_p)[:nv]
-            np_arr = np.asarray(norm_p)[:nf]
+            meta_ = entries[0][2]
+            vp = unpermute(np.asarray(vert_p)[:nv], meta_.get("perm_v"))
+            np_arr = unpermute(np.asarray(norm_p)[:nf], meta_.get("perm_f"))
         else:
             # overlap-averaged stitching (int32 counters)
             count_v = np.zeros((mesh_n.n_vertices, 1), dtype=np.int32)
             vp = np.zeros((mesh_n.n_vertices, 3), dtype=np.float32)
             np_arr = np.zeros((mesh_n.n_faces, 3), dtype=np.float32)
-            for i, (bv, bf, _, v_idx, f_idx) in enumerate(entries):
+            for i, (bv, bf, meta_, v_idx, f_idx) in enumerate(entries):
                 sample = mem.get(i)
                 vert_p, norm_p = self._apply(self.params, sample)
                 count_v[v_idx] += 1
-                vp[v_idx] += np.asarray(vert_p)[: bv.n_nodes]
-                np_arr[f_idx] += np.asarray(norm_p)[: bf.n_nodes]
+                vp[v_idx] += unpermute(
+                    np.asarray(vert_p)[: bv.n_nodes], meta_.get("perm_v")
+                )
+                np_arr[f_idx] += unpermute(
+                    np.asarray(norm_p)[: bf.n_nodes], meta_.get("perm_f")
+                )
             vp /= np.maximum(count_v, 1)
             norms = np.linalg.norm(np_arr, axis=1, keepdims=True)
             np_arr /= np.maximum(norms, 1e-12)

@@ -60,7 +60,20 @@ class FeaStConv(nn.Module):
                         w=w.astype(x.dtype), b=b.astype(x.dtype))
 
         def conv(p_, x_):
-            if level.nbr is not None and self.gp_axis is None:
+            if level.band is not None and self.gp_axis is None:
+                # banded block-dense path (ops/banded_pallas.py): gather-free
+                # Pallas kernels with a custom VJP; no remat needed — the
+                # kernels recompute their (T, W) intermediates in-backward
+                from geobignn_tpu.ops import banded_pallas
+
+                n1 = x_.shape[0]
+                n_band = level.band.shape[0] * level.band.shape[1]
+                xp = jnp.pad(x_, ((0, n_band - n1), (0, 0)))
+                dp = jnp.pad(level.deg.astype(jnp.float32), (0, n_band - n1))
+                out = banded_pallas.feast_conv_banded_pallas(
+                    p_, xp, level.band, dp
+                )[:n1].astype(x_.dtype)
+            elif level.nbr is not None and self.gp_axis is None:
                 # scatter-free dense-table fast path (ops/table.py)
                 out = feast_conv_table(
                     p_, x_, level.nbr, level.kmask, level.rev,
@@ -81,7 +94,10 @@ class FeaStConv(nn.Module):
             # 0 * inf = NaN)
             return out * level.node_mask.astype(out.dtype)[:, None]
 
-        if self.remat:
+        if self.remat and level.band is None:
+            # banded path excluded: its custom VJP already recomputes the
+            # (T, W) intermediates in-kernel, and its AD residuals are only
+            # (N, H) strips — checkpointing would just run the fwd twice
             conv = jax.checkpoint(conv)
         return conv(p, x)
 

@@ -82,6 +82,8 @@ class GraphLevel(struct.PyTreeNode):
     nbr: jax.Array | None = None  # (N_pad, K) int32 neighbor table
     kmask: jax.Array | None = None  # (N_pad, K) f32
     rev: jax.Array | None = None  # (N_pad, R) int32 reverse table
+    band: jax.Array | None = None  # (B, T, 3T) int8 band mask for the
+    # gather-free banded FeaStConv (ops/banded*.py; needs RCM node order)
 
 
 class PoolStep(struct.PyTreeNode):
