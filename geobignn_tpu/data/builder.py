@@ -75,7 +75,7 @@ def _build_branch(x, y, ei, w, n, cfg: BuildConfig, seed, depth=None) -> RawBran
         ei, w, x, n,
         n_levels=cfg.n_levels, pool_step=cfg.pool_step,
         weight_type=cfg.weight_type, wei_param=cfg.wei_param,
-        pool_type=cfg.pool_type, seed=seed,
+        pool_type=cfg.pool_type, seed=seed, reorder=cfg.reorder,
     )
     return RawBranch(x, y, ei, w, specs, n, depth)
 
@@ -201,18 +201,19 @@ class TableWidths:
     up_v: tuple[int, int]
     up_f: tuple[int, int]
     fv_r: int
-    tile_v: int = 0  # banded-conv tile (0 = level-1 graph not band-limited /
-    tile_f: int = 0  # reorder off); merged as max like every other width
+    tile_v: tuple = (0, 0, 0)  # banded-conv tile per level (0 = graph not
+    tile_f: tuple = (0, 0, 0)  # band-limited / reorder off); merged as max
 
     def merge(self, other: "TableWidths") -> "TableWidths":
         mx = lambda a, b: tuple(max(x, y) for x, y in zip(a, b))
+        both = lambda a, b: mx(a, b) if all(a) and all(b) else (0, 0, 0)
         return TableWidths(
             k_v=mx(self.k_v, other.k_v), k_f=mx(self.k_f, other.k_f),
             mem_v=mx(self.mem_v, other.mem_v), mem_f=mx(self.mem_f, other.mem_f),
             up_v=mx(self.up_v, other.up_v), up_f=mx(self.up_f, other.up_f),
             fv_r=max(self.fv_r, other.fv_r),
-            tile_v=max(self.tile_v, other.tile_v) if self.tile_v and other.tile_v else 0,
-            tile_f=max(self.tile_f, other.tile_f) if self.tile_f and other.tile_f else 0,
+            tile_v=both(self.tile_v, other.tile_v),
+            tile_f=both(self.tile_f, other.tile_f),
         )
 
 
@@ -254,12 +255,18 @@ def widths_for(
     fv_r = structs.round_up(
         int(np.bincount(fv_indices.reshape(-1), minlength=bv.n_nodes).max()), g
     )
-    tile_v = tile_f = 0
+    tile_v = tile_f = (0, 0, 0)
     if with_bands:
         from geobignn_tpu.ops import banded
 
-        tile_v = banded.pick_tile(banded.bandwidth_of(bv.edge_index))
-        tile_f = banded.pick_tile(banded.bandwidth_of(bf.edge_index))
+        def tiles(b: RawBranch):
+            s1, s2 = b.specs
+            return tuple(
+                banded.pick_tile(banded.bandwidth_of(ei))
+                for ei in (b.edge_index, s1.edge_index, s2.edge_index)
+            )
+
+        tile_v, tile_f = tiles(bv), tiles(bf)
     return TableWidths(k_v, k_f, mem_v, mem_f, up_v, up_f, fv_r, tile_v, tile_f)
 
 
@@ -339,25 +346,27 @@ def attach_tables(
         sample.f, w.k_f if w else None, w.mem_f if w else None,
         w.up_f if w else None,
     )
-    if w is not None and w.tile_v and w.tile_f:
+    if w is not None and all(w.tile_v) and all(w.tile_f):
         new_v = attach_band(new_v, w.tile_v)
         new_f = attach_band(new_f, w.tile_f)
     return sample.replace(v=new_v, f=new_f, fv_rev=fv_rev)
 
 
-def attach_band(branch: structs.BranchGraph, tile: int) -> structs.BranchGraph:
-    """Attach the level-1 band mask (ops/banded.py) to an RCM-ordered
-    branch.  Safe after union_batch: components occupy contiguous id
-    ranges, so per-component bandwidth is preserved and cross-component
-    window slots are simply absent from the mask."""
+def attach_band(branch: structs.BranchGraph, tiles: tuple) -> structs.BranchGraph:
+    """Attach per-level band masks (ops/banded.py) to an RCM-ordered
+    branch (all three U-Net levels are reordered: the mesh at build time,
+    the coarse graphs in pool/hierarchy.py).  Safe after union_batch:
+    components occupy contiguous id ranges, so per-component bandwidth is
+    preserved and cross-component window slots are simply absent."""
     from geobignn_tpu.ops import banded
 
-    lvl1 = branch.levels[0]
-    n1 = np.asarray(lvl1.node_mask).shape[0]
-    n_band = structs.round_up(n1, tile)
-    ei = np.asarray(lvl1.edge_index)
-    mask = banded.band_mask_np(ei, n_band, tile)
-    return branch.replace(levels=(lvl1.replace(band=mask),) + branch.levels[1:])
+    levels = []
+    for lvl, tile in zip(branch.levels, tiles):
+        n = np.asarray(lvl.node_mask).shape[0]
+        n_band = structs.round_up(n, tile)
+        mask = banded.band_mask_np(np.asarray(lvl.edge_index), n_band, tile)
+        levels.append(lvl.replace(band=mask))
+    return branch.replace(levels=tuple(levels))
 
 
 def build_dual_sample(

@@ -30,91 +30,124 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(r_ref, pt0, pt1, pt2, x0, x1, x2, m_ref, w_ref, out_ref,
-                *, heads: int, compute_dtype):
+def _common(r_ref, pts, xs, m_ref):
     r = r_ref[0]  # (T, H)
-    pw = jnp.concatenate([pt0[0], pt1[0], pt2[0]], axis=-1)  # (H, W)
-    xw = jnp.concatenate([x0[0], x1[0], x2[0]], axis=0)  # (W, C)
+    pw = jnp.concatenate([p[0] for p in pts], axis=-1)  # (H, W)
+    xw = jnp.concatenate([x[0] for x in xs], axis=0)  # (W, C)
     mf = m_ref[0].astype(jnp.float32)  # (T, W)
-
     d = jax.lax.dot_general(
         r, pw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (T, W)
-    dinv = 1.0 / jnp.maximum(d, 1e-12)
+    return r, pw, xw, mf, d
 
-    xw_c = xw.astype(compute_dtype)
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
-    for h in range(heads):  # static unroll; only one (T, W) g live at a time
-        g = (mf * pw[h][None, :] * dinv).astype(compute_dtype)
-        y = jnp.dot(g, xw_c, preferred_element_type=jnp.float32)  # (T, C)
-        yh = (y * r[:, h][:, None]).astype(compute_dtype)
-        acc = acc + jnp.dot(
-            yh, w_ref[h].astype(compute_dtype), preferred_element_type=jnp.float32
-        )
-    out_ref[0] = acc
+
+def _xpw_all(pw, xw, heads, compute_dtype):
+    """xpw[w, h*C + c] = p_h(w) * x_win[w, c] — the per-head scaling folded
+    into ONE wide (W, H*C) matmul operand, so every contraction runs with
+    full 128-lane tiles and there is no per-head (T, W) VPU work at all.
+    (Broadcast multiplies stay f32: Mosaic can't insert a minor dim on
+    16-bit types.)"""
+    return jnp.concatenate(
+        [(pw[h][:, None] * xw) for h in range(heads)], axis=1
+    ).astype(compute_dtype)
+
+
+def _rwide(r, c_in, heads):
+    """r_wide[t, h*C + c] = r[t, h] (lane-expanded to match xpw layout)."""
+    t = r.shape[0]
+    return jnp.concatenate(
+        [jnp.broadcast_to(r[:, h][:, None], (t, c_in)) for h in range(heads)],
+        axis=1,
+    )
+
+
+def _fwd_kernel(r_ref, pt0, pt1, pt2, x0, x1, x2, m_ref, w_ref, out_ref,
+                *, heads: int, compute_dtype):
+    """out = ((M/D) @ (p ⊗ x_win) ⊙ r ⊗ 1) @ W, all heads flattened into
+    the lane dimension: two wide MXU matmuls per block."""
+    r, pw, xw, mf, d = _common(r_ref, (pt0, pt1, pt2), (x0, x1, x2), m_ref)
+    c_in = xw.shape[1]
+    minv = (mf / jnp.maximum(d, 1e-12)).astype(compute_dtype)
+
+    xpw = _xpw_all(pw, xw, heads, compute_dtype)  # (W, H*C)
+    z = jnp.dot(minv, xpw, preferred_element_type=jnp.float32)  # (T, H*C)
+    zr = (z * _rwide(r, c_in, heads)).astype(compute_dtype)
+    w_flat = w_ref[:].astype(compute_dtype)  # (H*C, C_out), pre-flattened
+    out_ref[0] = jnp.dot(zr, w_flat, preferred_element_type=jnp.float32)
 
 
 def _bwd_kernel(r_ref, pt0, pt1, pt2, x0, x1, x2, m_ref, w_ref, gout_ref,
                 rbar_ref, pbar_ref, xbar_ref, wbar_ref,
                 *, heads: int, compute_dtype):
-    b = pl.program_id(0)
-    r = r_ref[0]  # (T, H)
-    pw = jnp.concatenate([pt0[0], pt1[0], pt2[0]], axis=-1)  # (H, W)
-    xw = jnp.concatenate([x0[0], x1[0], x2[0]], axis=0)  # (W, C)
-    mf = m_ref[0].astype(jnp.float32)
+    """Flattened-heads backward: five wide MXU matmuls per block.
+
+      z    = minv @ xpw                       (forward recompute)
+      ḡz   = (ḡ W_flat^T) ⊙ r_wide            cotangent at z
+      W̄    = (z ⊙ r_wide)^T ḡ                 per-block slab, XLA-reduced
+      A    = minv^T @ ḡz                      closes x̄ and p̄:
+               x̄_w = Σ_h p_h ⊙ A_h ;  p̄_h = Σ_c xw ⊙ A_h
+      K    = ḡz @ xpw^T                       = Σ_h p_h ⊙ (ȳ_h xw^T) — the
+             denominator path collapses into ONE matmul because xpw already
+             carries the p_h scaling
+      d̄   = -(M/D^2) ⊙ K ; r̄ += d̄ @ pw^T ; p̄ += r^T @ d̄
+    """
+    r, pw, xw, mf, d = _common(r_ref, (pt0, pt1, pt2), (x0, x1, x2), m_ref)
+    c_in = xw.shape[1]
     gout = gout_ref[0]  # (T, C_out)
 
-    d = jax.lax.dot_general(
-        r, pw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
     dinv = 1.0 / jnp.maximum(d, 1e-12)
-    # the clamp's subgradient: zero where it binds
-    live = (d > 1e-12).astype(jnp.float32)
+    minv = mf * dinv
+    minv_c = minv.astype(compute_dtype)
+    mdd = jnp.where(d > 1e-12, -minv * dinv, 0.0)  # clamp subgradient
 
-    xw_c = xw.astype(compute_dtype)
+    xpw = _xpw_all(pw, xw, heads, compute_dtype)  # (W, H*C)
+    r_wide = _rwide(r, c_in, heads)  # (T, H*C)
     gout_c = gout.astype(compute_dtype)
+    w_flat = w_ref[:].astype(compute_dtype)  # (H*C, C_out), pre-flattened
 
-    @pl.when(b == 0)
-    def _():
-        wbar_ref[...] = jnp.zeros_like(wbar_ref)
+    z = jnp.dot(minv_c, xpw, preferred_element_type=jnp.float32)  # (T, HC)
+    gy = jnp.dot(
+        gout_c, w_flat.T, preferred_element_type=jnp.float32
+    )  # (T, HC)
+    zr = (z * r_wide).astype(compute_dtype)
+    wbar_ref[0] = jax.lax.dot_general(  # (HC, C_out); caller reshapes
+        zr, gout_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    dbar = jnp.zeros_like(d)
-    xbar = jnp.zeros((xw.shape[0], xw.shape[1]), jnp.float32)
-    rbar = []
+    # r̄ direct part: per-head lane-group rowsums of gy ⊙ z via one matmul
+    # against a block-diagonal ones matrix (in-kernel (T,HC)->(T*H,C)
+    # reshapes do not lower)
+    hc = heads * c_in
+    blk_rows = jax.lax.broadcasted_iota(jnp.int32, (hc, heads), 0) // c_in
+    blk_cols = jax.lax.broadcasted_iota(jnp.int32, (hc, heads), 1)
+    ones_blk = (blk_rows == blk_cols).astype(compute_dtype)  # (HC, H)
+    rbar_direct = jnp.dot(
+        (gy * z).astype(compute_dtype), ones_blk,
+        preferred_element_type=jnp.float32,
+    )  # (T, H)
+
+    ybar = (gy * r_wide).astype(compute_dtype)  # (T, HC)
+    a = jax.lax.dot_general(  # minv^T ȳ -> (W, HC)
+        minv_c, ybar, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xbar = jnp.zeros((xw.shape[0], c_in), jnp.float32)
     pbar_rows = []
-    for h in range(heads):
-        mpd = mf * pw[h][None, :] * dinv  # G_h (T, W)
-        g_c = mpd.astype(compute_dtype)
-        y = jnp.dot(g_c, xw_c, preferred_element_type=jnp.float32)  # (T, C)
-        gy = jnp.dot(
-            gout_c, w_ref[h].astype(compute_dtype).T,
-            preferred_element_type=jnp.float32,
-        )  # (T, C) = ḡ W_h^T
-        # W̄_h = (r_h ⊙ y)^T ḡ
-        ryh = (y * r[:, h][:, None]).astype(compute_dtype)
-        wbar_ref[h] += jax.lax.dot_general(
-            ryh, gout_c, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        rbar.append((gy * y).sum(axis=1, keepdims=True))  # (T, 1)
-        ybar = (gy * r[:, h][:, None]).astype(compute_dtype)  # (T, C)
-        # x̄_win += G_h^T ȳ ;  Ḡ_h = ȳ x_win^T
-        xbar = xbar + jax.lax.dot_general(
-            g_c, ybar, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        gbar = jax.lax.dot_general(
-            ybar, xw_c, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (T, W)
-        pbar_rows.append((mf * dinv * gbar).sum(axis=0, keepdims=True))  # (1, W)
-        dbar = dbar - mpd * dinv * gbar * live
+    for h in range(heads):  # (W, C)-strip epilogues, VPU-cheap
+        a_h = a[:, h * c_in : (h + 1) * c_in]
+        xbar = xbar + pw[h][:, None] * a_h
+        pbar_rows.append((a_h * xw).sum(axis=1)[None, :])
 
-    # d̄ closes the denominator path: r̄ += d̄ p_win^T, p̄ += r^T d̄
+    k = jax.lax.dot_general(  # ȳ xpw^T: whole denominator path in one dot
+        ybar, xpw, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, W)
+    dbar = mdd * k
     rbar_d = jax.lax.dot_general(
         dbar, pw, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (T, H)
-    rbar_ref[0] = jnp.concatenate(rbar, axis=1) + rbar_d
+    rbar_ref[0] = rbar_direct + rbar_d
     pbar_ref[0] = jnp.concatenate(pbar_rows, axis=0) + jax.lax.dot_general(
         r, dbar, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (H, W)
@@ -133,7 +166,7 @@ def _specs(n_blk, tile, heads, c_in, c_out, with_gout: bool):
         pl.BlockSpec((1, tile, c_in), lambda b: (b + 1, 0, 0), memory_space=v),
         pl.BlockSpec((1, tile, c_in), lambda b: (b + 2, 0, 0), memory_space=v),
         pl.BlockSpec((1, tile, w), lambda b: (b, 0, 0), memory_space=v),  # mask
-        pl.BlockSpec((heads, c_in, c_out), lambda b: (0, 0, 0), memory_space=v),
+        pl.BlockSpec((heads * c_in, c_out), lambda b: (0, 0), memory_space=v),
     ]
     if with_gout:
         ins.append(pl.BlockSpec((1, tile, c_out), lambda b: (b, 0, 0), memory_space=v))
@@ -179,7 +212,7 @@ def _call_fwd(r, p, x, w, m, compute_dtype):
             flops=flops, bytes_accessed=m.size + 3 * x.size * 4, transcendentals=0
         ),
         interpret=_interpret(),
-    )(r_blk, pt, pt, pt, xb, xb, xb, m, w)
+    )(r_blk, pt, pt, pt, xb, xb, xb, m, w.reshape(heads * c_in, c_out))
     return out.reshape(n, c_out)
 
 
@@ -225,25 +258,28 @@ def _banded_aggregate_bwd(compute_dtype, res, gout):
             pl.BlockSpec((1, tile, heads), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, heads, win), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win, c_in), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c_in, c_out), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            # per-block W̄ slabs, reduced in XLA: a revisited accumulator
+            # block would serialize the grid pipeline
+            pl.BlockSpec((1, heads * c_in, c_out), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_blk, tile, heads), jnp.float32),
             jax.ShapeDtypeStruct((n_blk, heads, win), jnp.float32),
             jax.ShapeDtypeStruct((n_blk, win, c_in), jnp.float32),
-            jax.ShapeDtypeStruct((heads, c_in, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((n_blk, heads * c_in, c_out), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(r_blk, pt, pt, pt, xb, xb, xb, m, w, g_blk)
+    )(r_blk, pt, pt, pt, xb, xb, xb, m, w.reshape(heads * c_in, c_out), g_blk)
 
     dr = rbar.reshape(n, heads)
     dp = _fold_windows(jnp.moveaxis(pbar, 1, 2), tile, n)  # (N, H)
     dx = _fold_windows(xbar, tile, n)  # (N, C_in)
     dm = np.zeros(m.shape, jax.dtypes.float0)  # int mask: no cotangent
-    return dr, dp, dx, wbar, dm
+    return dr, dp, dx, wbar.sum(axis=0).reshape(heads, c_in, c_out), dm
 
 
 banded_aggregate.defvjp(_banded_aggregate_fwd, _banded_aggregate_bwd)

@@ -159,8 +159,13 @@ def build_pool_level(
     pool_type: str = "max",
     seed: int = 0,
     owner: np.ndarray | None = None,
+    reorder: bool = False,
 ) -> PoolLevelSpec:
     """Run `pool_step` matching rounds from one graph level to the next.
+
+    reorder=True RCM-permutes the OUTPUT node space so the coarsened graph
+    is band-limited too (banded convs at every U-Net level; the finest
+    level is reordered at mesh build time, data/builder.py).
 
     The affinity is evaluated once before the rounds (as in the reference,
     code/net_util.py:80) and carried through coalescing between rounds.
@@ -197,6 +202,16 @@ def build_pool_level(
     while len(clusters) < pool_step:
         clusters.append(np.arange(n, dtype=np.int64))
         sizes.append(n)
+    if reorder and ei.shape[1] > 0:
+        from geobignn_tpu.ops import banded
+
+        perm = banded.rcm_order(ei.astype(np.int64), n)  # new -> old
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        clusters[-1] = inv[clusters[-1]]
+        ei = inv[ei.astype(np.int64)].astype(np.int32)
+        if own is not None:
+            own = own[perm]
     unpool = clusters[0]
     for c in clusters[1:]:
         unpool = c[unpool]
@@ -236,6 +251,7 @@ def build_hierarchy(
     pool_type: str = "max",
     seed: int = 0,
     owner: np.ndarray | None = None,
+    reorder: bool = False,
 ) -> list[PoolLevelSpec]:
     """The full per-branch hierarchy: `n_levels` PoolLevelSpecs (the two
     PoolingLayers of a GNNModule).  Activation-dependent weight types use
@@ -248,6 +264,7 @@ def build_hierarchy(
             ei, w, xs, n,
             pool_step=pool_step, weight_type=weight_type, wei_param=wei_param,
             pool_type=pool_type, seed=seed + 1000 * lvl, owner=owner,
+            reorder=reorder,
         )
         owner = spec.owner_out
         specs.append(spec)
