@@ -150,13 +150,49 @@ class Predictor:
         vp = vp / meta["scale"] + meta["centroid"]  # denormalize
         return vp.astype(np.float32), np_arr.astype(np.float32)
 
+    # ------------------------------------------------------------------
+    def predict_mesh_halo(self, mesh_n: meshio.TriMesh, n_parts: int | None = None):
+        """Halo-sharded whole-mesh prediction: the mesh is node-partitioned
+        across the `gp` axis and denoised as ONE coherent graph (exact
+        single-device parity, tests/test_halo_model.py) — no submesh
+        splitting, no overlap averaging.  The multi-chip upgrade of the
+        reference's patch stitching (code/test_dual.py:49-61)."""
+        import jax.numpy as jnp
+
+        from geobignn_tpu import parallel
+        from geobignn_tpu.parallel import halo_train as ht
+
+        n_parts = n_parts or len(jax.devices())
+        mesh = parallel.make_mesh(1, n_parts)
+        bc = self.cfg.build_config()
+        sample = ht.build_halo_train_sample(mesh_n, None, bc, n_parts)
+        fwd = ht.make_halo_forward(mesh, sample.arrays)
+        p_flat = jax.tree.map(np.asarray, self.params["params"])
+        arrays = jax.tree.map(jnp.asarray, sample.arrays)
+        v_loc, n_loc = fwd(p_flat, arrays)
+        vp, np_arr = ht.unshard_predictions(sample, v_loc, n_loc)
+
+        meta = sample.meta
+        if "perm_v" in meta:  # back to original vertex/face order
+            u = np.empty_like(vp); u[meta["perm_v"]] = vp; vp = u
+            u = np.empty_like(np_arr); u[meta["perm_f"]] = np_arr; np_arr = u
+        vp = vp / meta["scale"] + meta["centroid"]
+        norms = np.linalg.norm(np_arr, axis=1, keepdims=True)
+        np_arr = np_arr / np.maximum(norms, 1e-12)
+        return vp.astype(np.float32), np_arr.astype(np.float32)
+
     def denoise(
         self,
         mesh_n: meshio.TriMesh,
         n_update_iters: int = 60,
+        halo_parts: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Full pipeline: predict + integrate normals; returns (V, Np)."""
-        vp, np_arr = self.predict_mesh(mesh_n)
+        """Full pipeline: predict + integrate normals; returns (V, Np).
+        halo_parts > 1 uses the halo-sharded multi-chip path."""
+        if halo_parts and halo_parts > 1:
+            vp, np_arr = self.predict_mesh_halo(mesh_n, halo_parts)
+        else:
+            vp, np_arr = self.predict_mesh(mesh_n)
         depth = None
         use_depth = self.cfg.force_depth
         if use_depth:

@@ -78,11 +78,12 @@ def build_halo_train_sample(
         d=hm.dual_device_arrays(hd),
         xv=hp.shard_features(bv.x, sh_v),
         xf=hp.shard_features(bf.x, sh_f),
-        yv=hp.shard_features(bv.y, sh_v),
-        yf=hp.shard_features(bf.y, sh_f),
         mv=sh_v.node_mask,
         mf=sh_f.node_mask,
     )
+    if bv.y is not None:  # inference builds have no targets
+        arrays["yv"] = hp.shard_features(bv.y, sh_v)
+        arrays["yf"] = hp.shard_features(bf.y, sh_f)
     return HaloTrainSample(arrays=arrays, structure=hd, n_v=n_v, n_f=n_f, meta=meta)
 
 
