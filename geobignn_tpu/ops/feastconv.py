@@ -119,9 +119,14 @@ def feast_conv_table(
     x: jax.Array,  # (N, C_in); trash row must be zero
     nbr: jax.Array,  # (N, K) int32 neighbor table (ops/table.py)
     kmask: jax.Array,  # (N, K) f32
-    rev: jax.Array,  # (N, R) int32 reverse table
+    rev: jax.Array,  # (N_src, R) int32 reverse table (N_src = N unless x_src)
     *,
     deg: jax.Array | None = None,  # (N,) real in-degree (= kmask.sum(1))
+    x_src: jax.Array | None = None,  # gather source when it differs from x —
+    # the halo-sharded case: x is this chip's local rows, x_src the extended
+    # [local | halo-buffer] table (parallel/partition.py halo_exchange), and
+    # nbr/rev index the extended space.  Gradients to halo rows flow through
+    # rev and back to their owners via the all_to_all transpose.
 ) -> jax.Array:
     """FeaStConv over a dense neighbor table — the scatter-free fast path.
 
@@ -134,7 +139,7 @@ def feast_conv_table(
 
     if deg is None:
         deg = kmask.sum(axis=1)
-    xn = tbl.table_gather(x, nbr, rev)  # (N, K, C_in)
+    xn = tbl.table_gather(x if x_src is None else x_src, nbr, rev)  # (N, K, C_in)
     s = jnp.einsum("nkc,ch->nkh", xn - x[:, None, :], params.u) + params.c
     q = jax.nn.softmax(s, axis=-1) * kmask[..., None]  # (N, K, H)
     z = jnp.einsum("nkh,nkc->nhc", q, xn)

@@ -33,6 +33,7 @@ class HaloBranch:
     clusters_loc: list[np.ndarray]  # 4 x (P, n_loc_in) -> local coarse slot
     unpool1_loc: np.ndarray  # (P, n_loc_l1) -> local level-2 slot
     unpool2_loc: np.ndarray  # (P, n_loc_l2) -> local level-3 slot
+    tables: list[dict] | None = None  # 3 x halo_tables dict (scatter-free convs)
 
 
 def _localize_map(
@@ -56,6 +57,7 @@ def build_halo_branch(
     specs: list[PoolLevelSpec],
     owner: np.ndarray,
     granularity: int = 8,
+    with_tables: bool = True,
 ) -> HaloBranch:
     """specs must come from build_hierarchy(..., owner=owner)."""
     sh1 = hp.build_halo_sharding(edge_index, edge_weight, n_nodes, owner, granularity)
@@ -89,11 +91,17 @@ def build_halo_branch(
     ]
     unpool1 = _localize_map(s1.unpool, sh1, sh2)
     unpool2 = _localize_map(s2.unpool, sh2, sh3)
+    tables = (
+        [hp.halo_tables(sh, granularity) for sh in (sh1, sh2, sh3)]
+        if with_tables
+        else None
+    )
     return HaloBranch(
         levels=[sh1, sh2, sh3],
         clusters_loc=clusters_loc,
         unpool1_loc=unpool1,
         unpool2_loc=unpool2,
+        tables=tables,
     )
 
 
@@ -105,6 +113,9 @@ def branch_device_arrays(hb: HaloBranch) -> dict:
         d[f"deg{i}"] = sh.deg
         d[f"send{i}"] = sh.send_idx
         d[f"mask{i}"] = sh.node_mask
+    if hb.tables is not None:
+        for i, tab in enumerate(hb.tables):
+            d[f"tab{i}"] = tab
     for i, cl in enumerate(hb.clusters_loc):
         d[f"cl{i}"] = cl
     d["unpool1"] = hb.unpool1_loc
@@ -141,6 +152,11 @@ def halo_gnn_module(params, x_loc, d: dict, axis: str, pool_type: str = "max"):
         return FeastParams(u=q["u"], c=q["c"], w=q["w"], b=q["b"])
 
     def conv(name, x, lvl):
+        if f"tab{lvl}" in d:  # scatter-free dense-table path (default)
+            return hp.halo_feast_conv_table(
+                fp(name), x, d[f"tab{lvl}"], d[f"deg{lvl}"], d[f"send{lvl}"],
+                axis, node_mask=d[f"mask{lvl}"],
+            )
         return hp.halo_feast_conv(
             fp(name), x, d[f"ei{lvl}"], d[f"deg{lvl}"], d[f"send{lvl}"], axis,
             node_mask=d[f"mask{lvl}"],
@@ -180,6 +196,8 @@ class HaloDual:
     f: HaloBranch
     fv_loc: np.ndarray  # (P, n_loc_f, 3) into [v local slots | fv halo bufs]
     send_fv: np.ndarray  # (P, P, h_pad) vertex local slots sent per pair
+    fv_rev: np.ndarray | None = None  # (P, n_ext_v, R) reverse table of fv_loc
+    send_fv_rev: np.ndarray | None = None  # (P, n_loc_v, R_s) rev of send_fv
 
 
 def build_gather_halo(
@@ -242,6 +260,8 @@ def build_halo_dual(
 ) -> HaloDual:
     """Faces are owned by the chip of their first corner; both hierarchies
     must be owner-constrained."""
+    from geobignn_tpu.ops import table as tbl
+
     n_f = fv_indices.shape[0]
     owner_f = owner_v[fv_indices[:, 0]].astype(np.int32)
     hb_v = build_halo_branch(ei_v, w_v, n_v, specs_v, owner_v, granularity)
@@ -251,16 +271,53 @@ def build_halo_dual(
         hb_f.levels[0].slot_of[:n_f].astype(np.int64),
         hb_f.levels[0].n_loc, hb_v.levels[0], granularity,
     )
-    return HaloDual(v=hb_v, f=hb_f, fv_loc=fv_loc, send_fv=send_fv)
+
+    # reverse tables: make the corner gather + its halo send scatter-free in
+    # backward (same machinery as partition.halo_tables)
+    p_cnt = fv_loc.shape[0]
+    n_loc_v = hb_v.levels[0].n_loc
+    h_pad = send_fv.shape[-1]
+    n_ext_v = n_loc_v + p_cnt * h_pad
+    src_mask = np.ones(n_ext_v, bool)
+    src_mask[n_loc_v - 1] = False
+    revs, rev_sends, r_max, rs_max = [], [], 1, 1
+    for p in range(p_cnt):
+        r_p, rr = tbl.reverse_table_np(fv_loc[p], n_ext_v, src_mask=src_mask,
+                                       granularity=granularity)
+        s_p, rs = tbl.reverse_table_np(send_fv[p].reshape(-1, 1), n_loc_v,
+                                       src_mask=src_mask[:n_loc_v],
+                                       granularity=granularity)
+        revs.append(r_p)
+        rev_sends.append(s_p)
+        r_max, rs_max = max(r_max, rr), max(rs_max, rs)
+
+    def repad(a, r_out, pad_val):
+        if a.shape[1] == r_out:
+            return a
+        pad = np.full((a.shape[0], r_out - a.shape[1]), pad_val, np.int32)
+        return np.concatenate([a, pad], axis=1)
+
+    fv_rev = np.stack(
+        [repad(r, r_max, fv_loc[0].size) for r in revs]
+    )
+    send_fv_rev = np.stack(
+        [repad(s, rs_max, p_cnt * h_pad) for s in rev_sends]
+    )
+    return HaloDual(v=hb_v, f=hb_f, fv_loc=fv_loc, send_fv=send_fv,
+                    fv_rev=fv_rev, send_fv_rev=send_fv_rev)
 
 
 def dual_device_arrays(hd: HaloDual) -> dict:
-    return dict(
+    d = dict(
         v=branch_device_arrays(hd.v),
         f=branch_device_arrays(hd.f),
         fv=hd.fv_loc,
         send_fv=hd.send_fv,
     )
+    if hd.fv_rev is not None:
+        d["fv_rev"] = hd.fv_rev
+        d["send_fv_rev"] = hd.send_fv_rev
+    return d
 
 
 def halo_dual_gnn(params, x_v_loc, x_f_loc, d: dict, axis: str,
@@ -285,8 +342,15 @@ def halo_dual_gnn(params, x_v_loc, x_f_loc, d: dict, axis: str,
     vert_p = dense("fc_v2", h) + xyz
 
     # cross-domain: exchange corner vertex positions, rebuild facet features
-    ext_v = hp.halo_exchange(vert_p, d["send_fv"], axis)
-    corners = ext_v[d["fv"]]  # (n_loc_f, 3, 3)
+    # (reverse tables, when present, make both gathers scatter-free in bwd)
+    ext_v = hp.halo_exchange(vert_p, d["send_fv"], axis,
+                             rev_send=d.get("send_fv_rev"))
+    if "fv_rev" in d:
+        from geobignn_tpu.ops import table as tbl
+
+        corners = tbl.table_gather(ext_v, d["fv"], d["fv_rev"])
+    else:
+        corners = ext_v[d["fv"]]  # (n_loc_f, 3, 3)
     face_cent = corners.mean(axis=1)
     n_ = jnp.cross(corners[:, 1] - corners[:, 0], corners[:, 2] - corners[:, 0])
     face_norm = geometry.safe_normalize(n_)

@@ -177,6 +177,67 @@ def build_halo_sharding(
     )
 
 
+def halo_tables(sh: HaloSharding, granularity: int = 8) -> dict:
+    """Dense neighbor/reverse tables for the scatter-free halo conv
+    (ops/table.py layout, per chip, stacked on a leading P axis with shared
+    K/R pads so the dict is one shard_map-able pytree):
+
+      nbr  (P, n_loc, K)   local row -> ext-space neighbor slots
+      kmask(P, n_loc, K)
+      rev  (P, n_ext, R)   ext slot -> flattened (n_loc*K) positions
+      rev_send (P, P*h_pad, R_s)  local slot -> positions in send_idx,
+                                  making halo_exchange's send gather
+                                  scatter-free in backward too
+    """
+    from geobignn_tpu.ops import table as tbl
+
+    p_cnt, n_loc, h_pad = sh.n_parts, sh.n_loc, sh.h_pad
+    n_ext = n_loc + p_cnt * h_pad
+
+    per = []
+    k_max = r_max = rs_max = 1
+    for p in range(p_cnt):
+        nbr_p, kmask_p, k_p = tbl.neighbor_table_np(
+            sh.edge_index[p], n_loc, granularity=granularity
+        )
+        per.append([nbr_p, kmask_p])
+        k_max = max(k_max, k_p)
+    k_pad = k_max
+    src_mask = np.ones(n_ext, bool)
+    src_mask[n_loc - 1] = False  # local trash: huge fan-in, zero gradient
+    for p in range(p_cnt):
+        nbr_p, kmask_p = per[p]
+        if nbr_p.shape[1] < k_pad:  # re-pad to the shared K
+            pad = np.full((n_loc, k_pad - nbr_p.shape[1]), n_loc - 1, np.int32)
+            nbr_p = np.concatenate([nbr_p, pad], axis=1)
+            kmask_p = np.concatenate(
+                [kmask_p, np.zeros(pad.shape, np.float32)], axis=1
+            )
+        rev_p, r_p = tbl.reverse_table_np(
+            nbr_p, n_ext, src_mask=src_mask, granularity=granularity
+        )
+        rs_p, rsp = tbl.reverse_table_np(
+            sh.send_idx[p].reshape(-1, 1), n_loc, src_mask=src_mask[:n_loc],
+            granularity=granularity,
+        )
+        per[p] = [nbr_p, kmask_p, rev_p, rs_p]
+        r_max, rs_max = max(r_max, r_p), max(rs_max, rsp)
+
+    def repad_rev(rev_p, r_out, pad_val):
+        if rev_p.shape[1] == r_out:
+            return rev_p
+        pad = np.full((rev_p.shape[0], r_out - rev_p.shape[1]), pad_val, np.int32)
+        return np.concatenate([rev_p, pad], axis=1)
+
+    nbr = np.stack([q[0] for q in per])
+    kmask = np.stack([q[1] for q in per])
+    rev = np.stack([repad_rev(q[2], r_max, n_loc * k_pad) for q in per])
+    rev_send = np.stack(
+        [repad_rev(q[3], rs_max, p_cnt * h_pad) for q in per]
+    )
+    return dict(nbr=nbr, kmask=kmask, rev=rev, rev_send=rev_send)
+
+
 def shard_features(x: np.ndarray, sh: HaloSharding) -> np.ndarray:
     """(N, C) global features -> (P, n_loc, C) per-chip slot features."""
     ext = np.concatenate([x, np.zeros((1, x.shape[1]), x.dtype)], axis=0)
@@ -195,14 +256,22 @@ def unshard_features(x_loc: np.ndarray, sh: HaloSharding, n: int) -> np.ndarray:
 # device side (inside shard_map over the halo axis)
 # --------------------------------------------------------------------------
 
-def halo_exchange(x_local, send_idx_self, axis: str):
+def halo_exchange(x_local, send_idx_self, axis: str, rev_send=None):
     """x_local (n_loc, C); send_idx_self (P, h_pad).  Returns the extended
     feature table (n_loc + P*h_pad, C): local slots then halo buffers laid
-    out by source chip.  ONE all_to_all of boundary rows per call."""
+    out by source chip.  ONE all_to_all of boundary rows per call.
+
+    With `rev_send` (halo_tables) the send gather backpropagates through a
+    reverse-table gather instead of a scatter-add."""
     import jax
     import jax.numpy as jnp
 
-    send = x_local[send_idx_self]  # (P, h_pad, C) rows destined per chip
+    if rev_send is None:
+        send = x_local[send_idx_self]  # (P, h_pad, C) rows destined per chip
+    else:
+        from geobignn_tpu.ops import table as tbl
+
+        send = tbl.table_gather(x_local, send_idx_self, rev_send)
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=False)
     p, h, c = recv.shape
     return jnp.concatenate([x_local, recv.reshape(p * h, c)], axis=0)
@@ -244,6 +313,27 @@ def halo_feast_conv(
     w_self = jnp.einsum("h,hio->io", s_self, params.w)
     out = out + jnp.dot(x_local, w_self, preferred_element_type=x_local.dtype)
     out = out / (deg + 1.0)[:, None] + params.b
+    if node_mask is not None:
+        out = out * node_mask.astype(out.dtype)[:, None]
+    return out
+
+
+def halo_feast_conv_table(
+    params, x_local, tabs: dict, deg, send_idx_self, axis: str, node_mask=None
+):
+    """Scatter-free halo FeaStConv: one boundary all_to_all, then the dense
+    neighbor-table formulation (ops/feastconv.feast_conv_table) over the
+    extended [local | halo] feature table.  `tabs` = this chip's slice of
+    partition.halo_tables.  Forward AND backward are gather-only (the
+    measured 12x/5.6x single-chip win carries over; the only extra cost is
+    the all_to_all pair, whose payload is the cut size)."""
+    from geobignn_tpu.ops.feastconv import feast_conv_table
+
+    ext = halo_exchange(x_local, send_idx_self, axis, rev_send=tabs["rev_send"])
+    out = feast_conv_table(
+        params, x_local, tabs["nbr"], tabs["kmask"], tabs["rev"],
+        deg=deg, x_src=ext,
+    )
     if node_mask is not None:
         out = out * node_mask.astype(out.dtype)[:, None]
     return out

@@ -67,6 +67,59 @@ def test_halo_unet_matches_single_device():
     np.testing.assert_allclose(got, np.asarray(ref)[:n], atol=3e-5)
 
 
+def test_halo_table_conv_matches_coo_path():
+    """The scatter-free dense-table halo conv (partition.halo_tables +
+    halo_feast_conv_table) must equal the sorted-COO halo formulation in
+    outputs AND input gradients."""
+    n_parts = 4
+    m = synth.add_noise(synth.icosphere(2), 0.2, seed=5)
+    n = m.n_vertices
+    ei = graphs.build_vertex_graph_1ring(m.ev_indices, n)
+    _, w = graphs.weighted_graph(ei, n, m.points, np.ones_like(m.points))
+    x = np.random.default_rng(3).normal(size=(n, 6)).astype(np.float32)
+    owner = hp.partition_nodes(ei, n, n_parts, seed=6)
+    specs = build_hierarchy(ei, w, x, n, owner=owner)
+
+    raw = RawBranch(x=x, y=None, edge_index=ei, edge_weight=w,
+                    specs=specs, n_nodes=n)
+    branch = _pad_branch(raw, structs.BranchSizes.plan(raw.counts(), 16))
+    params = jax.tree.map(
+        np.asarray,
+        GNNModule().init(jax.random.PRNGKey(1), branch,
+                         jnp.asarray(branch.x))["params"],
+    )
+    mesh = make_mesh(1, n_parts)
+
+    outs, gins = [], []
+    for with_tables in (True, False):
+        hb = hm.build_halo_branch(ei, w, n, specs, owner,
+                                  with_tables=with_tables)
+        d = hm.branch_device_arrays(hb)
+        x_loc = jnp.asarray(hp.shard_features(x, hb.levels[0]))
+
+        in_specs = (P(), P("gp"), jax.tree.map(lambda _: P("gp"), d))
+
+        def fn(p, x_l, d_l):
+            sliced = jax.tree.map(lambda a: a[0], d_l)
+            out = hm.halo_gnn_module(p, x_l[0], sliced, axis="gp")
+            return out[None]
+
+        sharded = jax.jit(
+            jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P("gp"),
+                          check_vma=False)
+        )
+        d_dev = jax.tree.map(jnp.asarray, d)
+        outs.append(np.asarray(sharded(params, x_loc, d_dev)))
+
+        def loss(x_l):
+            return (sharded(params, x_l, d_dev) ** 2).sum()
+
+        gins.append(np.asarray(jax.grad(loss)(x_loc)))
+
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+    np.testing.assert_allclose(gins[0], gins[1], atol=2e-4)
+
+
 def test_halo_dual_gnn_matches_single_device():
     """Full bi-domain model over 4-way halo shards == DualGNN."""
     from geobignn_tpu.data.builder import BuildConfig, build_raw, plan_for, _pad_branch
