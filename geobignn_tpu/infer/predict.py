@@ -151,12 +151,14 @@ class Predictor:
         return vp.astype(np.float32), np_arr.astype(np.float32)
 
     # ------------------------------------------------------------------
-    def predict_mesh_halo(self, mesh_n: meshio.TriMesh, n_parts: int | None = None):
+    def predict_mesh_halo(self, mesh_n: meshio.TriMesh, n_parts: int | None = None,
+                          banded: bool = False):
         """Halo-sharded whole-mesh prediction: the mesh is node-partitioned
         across the `gp` axis and denoised as ONE coherent graph (exact
         single-device parity, tests/test_halo_model.py) — no submesh
         splitting, no overlap averaging.  The multi-chip upgrade of the
-        reference's patch stitching (code/test_dual.py:49-61)."""
+        reference's patch stitching (code/test_dual.py:49-61).
+        `banded=True` runs level-1 convs through the banded Pallas kernel."""
         import jax.numpy as jnp
 
         from geobignn_tpu import parallel
@@ -165,7 +167,8 @@ class Predictor:
         n_parts = n_parts or len(jax.devices())
         mesh = parallel.make_mesh(1, n_parts)
         bc = self.cfg.build_config()
-        sample = ht.build_halo_train_sample(mesh_n, None, bc, n_parts)
+        sample = ht.build_halo_train_sample(mesh_n, None, bc, n_parts,
+                                            banded=banded)
         fwd = ht.make_halo_forward(mesh, sample.arrays)
         p_flat = jax.tree.map(np.asarray, self.params["params"])
         arrays = jax.tree.map(jnp.asarray, sample.arrays)

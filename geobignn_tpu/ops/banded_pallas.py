@@ -180,22 +180,78 @@ def _pad_blocks(arr, tile):
     return jnp.concatenate([z, arr, z]).reshape(-1, tile, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def banded_aggregate(r, p, x, w, m, compute_dtype=jnp.bfloat16):
+def banded_aggregate(r, p, x, w, m, compute_dtype=jnp.bfloat16, vma=None):
     """sum_h r_h ⊙ ((M ⊙ p_h / D) @ x_win) @ W_h over the band mask.
 
     r, p: (N, H) factorized softmax halves; x: (N, C_in); w: (H, C_in,
     C_out); m: (B, T, 3T) int8.  Returns (N, C_out) f32.  The matmuls run
     in `compute_dtype` (bf16 default — same MXU passes XLA uses for f32);
-    D and all accumulations are f32."""
-    return _call_fwd(r, p, x, w, m, compute_dtype)
+    D and all accumulations are f32.
+
+    `vma` (hashable collection of mesh-axis names, e.g. frozenset({"gp"}))
+    must be set when calling inside a `check_vma=True` shard_map — pallas
+    out_shapes need the varying axes declared, and replicated operands are
+    pvary-lifted so every kernel input agrees.  On non-TPU backends with
+    `vma` set, an equivalent XLA formulation runs instead: the interpret-
+    mode HLO interpreter cannot mix varying operands with its own
+    replicated grid indices (jax-ml/jax dynamic_slice vma mismatch)."""
+    if vma is not None and _interpret():
+        return _xla_numerator(r, p, x, w, m, compute_dtype)
+    return _banded_aggregate_kernel(r, p, x, w, m, compute_dtype, vma)
 
 
-def _call_fwd(r, p, x, w, m, compute_dtype):
+def _xla_numerator(r, p, x, w, m, compute_dtype):
+    """Pure-XLA twin of the kernel (ops/banded.py math, numerator only)."""
+    from geobignn_tpu.ops.banded import _window
+
+    n_blk, tile, win = m.shape
+    n, c_in = x.shape
+    x_win = _window(x.astype(compute_dtype), tile)
+    p_win = _window(p, tile)
+    r_blk = r.reshape(n_blk, tile, -1)
+    mf = m.astype(jnp.float32)
+    d = jnp.einsum("bth,bwh->btw", r_blk, p_win,
+                   preferred_element_type=jnp.float32)
+    dinv = 1.0 / jnp.maximum(d, 1e-12)
+
+    def one_head(w_h, p_h, r_h):
+        g = (mf * p_h[:, None, :] * dinv).astype(compute_dtype)
+        z = jnp.einsum("btw,bwc->btc", g, x_win,
+                       preferred_element_type=jnp.float32)
+        z = (z * r_h[..., None]).astype(compute_dtype)
+        return jnp.einsum("btc,co->bto", z, w_h.astype(compute_dtype),
+                          preferred_element_type=jnp.float32)
+
+    p_heads = jnp.moveaxis(p_win, -1, 0)
+    r_heads = jnp.moveaxis(r_blk, -1, 0)
+    out0 = one_head(w[0], p_heads[0], r_heads[0])
+
+    def body(acc, whr):
+        return acc + one_head(*whr), None
+
+    out, _ = jax.lax.scan(body, out0, (w[1:], p_heads[1:], r_heads[1:]))
+    return out.reshape(n, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _banded_aggregate_kernel(r, p, x, w, m, compute_dtype=jnp.bfloat16, vma=None):
+    return _call_fwd(r, p, x, w, m, compute_dtype, vma)
+
+
+def _sds(shape, vma):
+    if vma is None:
+        return jax.ShapeDtypeStruct(shape, jnp.float32)
+    return jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
+
+
+def _call_fwd(r, p, x, w, m, compute_dtype, vma=None):
     n_blk, tile, win = m.shape
     n, c_in = x.shape
     heads = r.shape[1]
     c_out = w.shape[2]
+    w_flat = w.reshape(heads * c_in, c_out)
+    if vma is not None:  # lift replicated operands to the varying set
+        w_flat = jax.lax.pcast(w_flat, to='varying', axes=tuple(vma))
     r_blk = r.reshape(n_blk, tile, heads)
     pt = jnp.moveaxis(_pad_blocks(p, tile), -1, -2)  # (B+2, H, T)
     xb = _pad_blocks(x, tile)  # (B+2, T, C)
@@ -207,12 +263,12 @@ def _call_fwd(r, p, x, w, m, compute_dtype):
         out_specs=pl.BlockSpec(
             (1, tile, c_out), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_blk, tile, c_out), jnp.float32),
+        out_shape=_sds((n_blk, tile, c_out), vma),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=m.size + 3 * x.size * 4, transcendentals=0
         ),
         interpret=_interpret(),
-    )(r_blk, pt, pt, pt, xb, xb, xb, m, w.reshape(heads * c_in, c_out))
+    )(r_blk, pt, pt, pt, xb, xb, xb, m, w_flat)
     return out.reshape(n, c_out)
 
 
@@ -222,8 +278,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _banded_aggregate_fwd(r, p, x, w, m, compute_dtype):
-    out = _call_fwd(r, p, x, w, m, compute_dtype)
+def _banded_aggregate_fwd(r, p, x, w, m, compute_dtype, vma):
+    out = _call_fwd(r, p, x, w, m, compute_dtype, vma)
     return out, (r, p, x, w, m)
 
 
@@ -239,12 +295,15 @@ def _fold_windows(slabs, tile, n):
     return (prev + cur + nxt).reshape(n_blk * tile, c)
 
 
-def _banded_aggregate_bwd(compute_dtype, res, gout):
+def _banded_aggregate_bwd(compute_dtype, vma, res, gout):
     r, p, x, w, m = res
     n_blk, tile, win = m.shape
     n, c_in = x.shape
     heads = r.shape[1]
     c_out = w.shape[2]
+    w_flat = w.reshape(heads * c_in, c_out)
+    if vma is not None:
+        w_flat = jax.lax.pcast(w_flat, to='varying', axes=tuple(vma))
     r_blk = r.reshape(n_blk, tile, heads)
     pt = jnp.moveaxis(_pad_blocks(p, tile), -1, -2)
     xb = _pad_blocks(x, tile)
@@ -264,25 +323,30 @@ def _banded_aggregate_bwd(compute_dtype, res, gout):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blk, tile, heads), jnp.float32),
-            jax.ShapeDtypeStruct((n_blk, heads, win), jnp.float32),
-            jax.ShapeDtypeStruct((n_blk, win, c_in), jnp.float32),
-            jax.ShapeDtypeStruct((n_blk, heads * c_in, c_out), jnp.float32),
+            _sds((n_blk, tile, heads), vma),
+            _sds((n_blk, heads, win), vma),
+            _sds((n_blk, win, c_in), vma),
+            _sds((n_blk, heads * c_in, c_out), vma),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(r_blk, pt, pt, pt, xb, xb, xb, m, w.reshape(heads * c_in, c_out), g_blk)
+    )(r_blk, pt, pt, pt, xb, xb, xb, m, w_flat, g_blk)
 
     dr = rbar.reshape(n, heads)
     dp = _fold_windows(jnp.moveaxis(pbar, 1, 2), tile, n)  # (N, H)
     dx = _fold_windows(xbar, tile, n)  # (N, C_in)
     dm = np.zeros(m.shape, jax.dtypes.float0)  # int mask: no cotangent
-    return dr, dp, dx, wbar.sum(axis=0).reshape(heads, c_in, c_out), dm
+    dw = wbar.sum(axis=0).reshape(heads, c_in, c_out)
+    if vma is not None:
+        # w binds replicated: built-in ops get this psum from the pvary
+        # transpose, a custom VJP must reduce its own cotangent
+        dw = jax.lax.psum(dw, tuple(vma))
+    return dr, dp, dx, dw, dm
 
 
-banded_aggregate.defvjp(_banded_aggregate_fwd, _banded_aggregate_bwd)
+_banded_aggregate_kernel.defvjp(_banded_aggregate_fwd, _banded_aggregate_bwd)
 
 
 def feast_conv_banded_pallas(

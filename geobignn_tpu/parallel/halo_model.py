@@ -34,6 +34,7 @@ class HaloBranch:
     unpool1_loc: np.ndarray  # (P, n_loc_l1) -> local level-2 slot
     unpool2_loc: np.ndarray  # (P, n_loc_l2) -> local level-3 slot
     tables: list[dict] | None = None  # 3 x halo_tables dict (scatter-free convs)
+    band0: dict | None = None  # level-1 halo_band_arrays (banded Pallas conv)
 
 
 def _localize_map(
@@ -58,9 +59,28 @@ def build_halo_branch(
     owner: np.ndarray,
     granularity: int = 8,
     with_tables: bool = True,
+    banded: bool = False,
 ) -> HaloBranch:
-    """specs must come from build_hierarchy(..., owner=owner)."""
-    sh1 = hp.build_halo_sharding(edge_index, edge_weight, n_nodes, owner, granularity)
+    """specs must come from build_hierarchy(..., owner=owner).
+
+    `banded=True` RCM-orders each chip's local slot space and runs the
+    level-1 convs through the banded Pallas kernel (intra edges) plus a
+    dense-table boundary correction — see partition.halo_feast_conv_banded.
+    Levels 2-3 keep the table path (they are ~16x smaller)."""
+    band0 = None
+    if banded:
+        from geobignn_tpu.ops.banded import pick_tile
+
+        pri, bw = hp.partition_rcm_priority(edge_index, n_nodes, owner)
+        tile = pick_tile(bw)
+        sh1 = hp.build_halo_sharding(
+            edge_index, edge_weight, n_nodes, owner, tile, priority=pri
+        )
+        band0 = hp.halo_band_arrays(sh1, tile, granularity)
+    else:
+        sh1 = hp.build_halo_sharding(
+            edge_index, edge_weight, n_nodes, owner, granularity
+        )
     s1, s2 = specs
     assert s1.owner_out is not None and s2.owner_out is not None
 
@@ -102,6 +122,7 @@ def build_halo_branch(
         unpool1_loc=unpool1,
         unpool2_loc=unpool2,
         tables=tables,
+        band0=band0,
     )
 
 
@@ -116,6 +137,8 @@ def branch_device_arrays(hb: HaloBranch) -> dict:
     if hb.tables is not None:
         for i, tab in enumerate(hb.tables):
             d[f"tab{i}"] = tab
+    if hb.band0 is not None:
+        d["band0"] = hb.band0
     for i, cl in enumerate(hb.clusters_loc):
         d[f"cl{i}"] = cl
     d["unpool1"] = hb.unpool1_loc
@@ -152,6 +175,11 @@ def halo_gnn_module(params, x_loc, d: dict, axis: str, pool_type: str = "max"):
         return FeastParams(u=q["u"], c=q["c"], w=q["w"], b=q["b"])
 
     def conv(name, x, lvl):
+        if f"band{lvl}" in d:  # banded Pallas + boundary-table correction
+            return hp.halo_feast_conv_banded(
+                fp(name), x, d[f"band{lvl}"], d[f"deg{lvl}"], d[f"send{lvl}"],
+                axis, node_mask=d[f"mask{lvl}"],
+            )
         if f"tab{lvl}" in d:  # scatter-free dense-table path (default)
             return hp.halo_feast_conv_table(
                 fp(name), x, d[f"tab{lvl}"], d[f"deg{lvl}"], d[f"send{lvl}"],
@@ -257,6 +285,7 @@ def build_halo_dual(
     ei_v, w_v, n_v, specs_v, owner_v,
     ei_f, w_f, fv_indices, specs_f,
     granularity: int = 8,
+    banded: bool = False,
 ) -> HaloDual:
     """Faces are owned by the chip of their first corner; both hierarchies
     must be owner-constrained."""
@@ -264,8 +293,10 @@ def build_halo_dual(
 
     n_f = fv_indices.shape[0]
     owner_f = owner_v[fv_indices[:, 0]].astype(np.int32)
-    hb_v = build_halo_branch(ei_v, w_v, n_v, specs_v, owner_v, granularity)
-    hb_f = build_halo_branch(ei_f, w_f, n_f, specs_f, owner_f, granularity)
+    hb_v = build_halo_branch(ei_v, w_v, n_v, specs_v, owner_v, granularity,
+                             banded=banded)
+    hb_f = build_halo_branch(ei_f, w_f, n_f, specs_f, owner_f, granularity,
+                             banded=banded)
     fv_loc, send_fv = build_gather_halo(
         fv_indices.astype(np.int64), owner_f,
         hb_f.levels[0].slot_of[:n_f].astype(np.int64),

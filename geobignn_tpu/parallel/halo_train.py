@@ -48,11 +48,12 @@ class HaloTrainSample:
 
 def build_halo_train_sample(
     mesh_noisy, mesh_orig, build_cfg, n_parts: int, seed: int = 0,
-    granularity: int = 8,
+    granularity: int = 8, banded: bool = False,
 ) -> HaloTrainSample:
     """Raw mesh pair -> halo-sharded sample: BFS node partition,
     owner-constrained pooling hierarchies, halo structures, sharded
-    features/targets/masks."""
+    features/targets/masks.  `banded=True` RCM-orders each chip's slots and
+    routes level-1 convs through the banded Pallas kernel."""
     from geobignn_tpu.data.builder import build_raw
     from geobignn_tpu.pool.hierarchy import build_hierarchy
 
@@ -71,7 +72,7 @@ def build_halo_train_sample(
     hd = hm.build_halo_dual(
         bv.edge_index, bv.edge_weight, n_v, bv.specs, owner_v,
         bf.edge_index, bf.edge_weight, meta["fv_indices"], bf.specs,
-        granularity=granularity,
+        granularity=granularity, banded=banded,
     )
     sh_v, sh_f = hd.v.levels[0], hd.f.levels[0]
     arrays = dict(

@@ -95,16 +95,25 @@ def build_halo_sharding(
     n: int,
     owner: np.ndarray,
     granularity: int = 8,
+    priority: np.ndarray | None = None,
 ) -> HaloSharding:
+    """`priority` (n,) optionally orders nodes WITHIN their partition (lower
+    first) — e.g. a per-partition RCM rank (partition_rcm_priority), which
+    makes every chip's local graph band-limited so the banded Pallas conv
+    applies per shard.  Default: id order."""
     p_cnt = int(owner.max()) + 1
     counts = np.bincount(owner, minlength=p_cnt)
     n_loc = round_up(int(counts.max()) + 1, granularity)
     trash_loc = n_loc - 1
 
-    # vectorized slot assignment: nodes keep id order within their partition
+    # vectorized slot assignment: nodes keep id (or priority) order within
+    # their partition
     slot_of = np.zeros(n, dtype=np.int64)
     gather_x = np.full((p_cnt, n_loc), n, dtype=np.int64)  # n == global trash row
-    order_n = np.argsort(owner[:n], kind="stable")
+    if priority is None:
+        order_n = np.argsort(owner[:n], kind="stable")
+    else:
+        order_n = np.lexsort((priority[:n], owner[:n]))
     starts = np.zeros(p_cnt, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     ranks = np.arange(n, dtype=np.int64) - starts[owner[order_n]]
@@ -238,6 +247,106 @@ def halo_tables(sh: HaloSharding, granularity: int = 8) -> dict:
     return dict(nbr=nbr, kmask=kmask, rev=rev, rev_send=rev_send)
 
 
+def partition_rcm_priority(
+    edge_index: np.ndarray, n: int, owner: np.ndarray
+) -> tuple[np.ndarray, int]:
+    """Per-partition RCM rank of every node over its INTRA-partition
+    subgraph (boundary edges don't constrain the ordering).  Feed the rank
+    as build_halo_sharding's `priority` so each chip's local slot space is
+    band-limited.  Returns (priority (n,), max slot bandwidth across
+    partitions) — the bandwidth sizes the banded tile."""
+    from geobignn_tpu.ops.banded import rcm_order
+
+    p_cnt = int(owner.max()) + 1
+    row = edge_index[0].astype(np.int64)
+    col = edge_index[1].astype(np.int64)
+    pri = np.zeros(n, np.int64)
+    bw_max = 0
+    for p in range(p_cnt):
+        nodes = np.where(owner[:n] == p)[0]
+        idx_of = np.full(n, -1, np.int64)
+        idx_of[nodes] = np.arange(nodes.size)
+        sel = (owner[row] == p) & (owner[col] == p) & (row != col)
+        sub = np.stack([idx_of[row[sel]], idx_of[col[sel]]])
+        perm = rcm_order(sub, nodes.size)  # old local index per new slot
+        rank = np.empty(nodes.size, np.int64)
+        rank[perm] = np.arange(nodes.size)
+        pri[nodes] = rank
+        if sub.shape[1]:
+            bw_max = max(bw_max, int(np.abs(rank[sub[0]] - rank[sub[1]]).max()))
+    return pri, bw_max
+
+
+def halo_band_arrays(sh: HaloSharding, tile: int, granularity: int = 8) -> dict:
+    """Banded structure for the per-shard Pallas conv: the local edge set
+    splits into INTRA edges (both endpoints local — band-limited when the
+    sharding was built with partition_rcm_priority) and BOUNDARY edges
+    (column in the halo region).  The FeaSt softmax is per-edge, so the two
+    sets aggregate additively (ops/banded.py rank-H factorization):
+
+      m       (P, B, T, 3T) int8   band mask of the intra edges
+      nbr_b   (P, n_loc, K_b)      boundary neighbor table (ext space)
+      kmask_b (P, n_loc, K_b)
+      rev_b   (P, n_ext, R)        reverse table for the boundary gather
+      rev_send(P, n_loc, R_s)      as in halo_tables
+
+    Requires sh.n_loc % tile == 0 (pass granularity=tile when building)."""
+    from geobignn_tpu.ops import table as tbl
+    from geobignn_tpu.ops.banded import band_mask_np
+
+    p_cnt, n_loc, h_pad = sh.n_parts, sh.n_loc, sh.h_pad
+    assert n_loc % tile == 0, (n_loc, tile)
+    n_ext = n_loc + p_cnt * h_pad
+    src_mask = np.ones(n_ext, bool)
+    src_mask[n_loc - 1] = False
+
+    masks, nbrs, kmasks, revs, rev_sends = [], [], [], [], []
+    k_max = r_max = rs_max = 1
+    for p in range(p_cnt):
+        ei_p = sh.edge_index[p].astype(np.int64)
+        intra = ei_p[1] < n_loc  # includes row==col trash padding (dropped
+        # inside band_mask_np / neighbor_table_np)
+        masks.append(band_mask_np(ei_p[:, intra], n_loc, tile))
+        nbr_p, km_p, k_p = tbl.neighbor_table_np(
+            ei_p[:, ~intra], n_loc, granularity=granularity
+        )
+        nbrs.append(nbr_p)
+        kmasks.append(km_p)
+        k_max = max(k_max, k_p)
+        rs_p, rsp = tbl.reverse_table_np(
+            sh.send_idx[p].reshape(-1, 1), n_loc, src_mask=src_mask[:n_loc],
+            granularity=granularity,
+        )
+        rev_sends.append(rs_p)
+        rs_max = max(rs_max, rsp)
+    for p in range(p_cnt):
+        if nbrs[p].shape[1] < k_max:
+            pad = np.full((n_loc, k_max - nbrs[p].shape[1]), n_loc - 1, np.int32)
+            nbrs[p] = np.concatenate([nbrs[p], pad], axis=1)
+            kmasks[p] = np.concatenate(
+                [kmasks[p], np.zeros(pad.shape, np.float32)], axis=1
+            )
+        rev_p, r_p = tbl.reverse_table_np(
+            nbrs[p], n_ext, src_mask=src_mask, granularity=granularity
+        )
+        revs.append(rev_p)
+        r_max = max(r_max, r_p)
+
+    def repad(a, r_out, pad_val):
+        if a.shape[1] == r_out:
+            return a
+        pad = np.full((a.shape[0], r_out - a.shape[1]), pad_val, np.int32)
+        return np.concatenate([a, pad], axis=1)
+
+    return dict(
+        m=np.stack(masks),
+        nbr_b=np.stack(nbrs),
+        kmask_b=np.stack(kmasks),
+        rev_b=np.stack([repad(r, r_max, n_loc * k_max) for r in revs]),
+        rev_send=np.stack([repad(s, rs_max, p_cnt * h_pad) for s in rev_sends]),
+    )
+
+
 def shard_features(x: np.ndarray, sh: HaloSharding) -> np.ndarray:
     """(N, C) global features -> (P, n_loc, C) per-chip slot features."""
     ext = np.concatenate([x, np.zeros((1, x.shape[1]), x.dtype)], axis=0)
@@ -312,6 +421,51 @@ def halo_feast_conv(
     s_self = jax.nn.softmax(params.c)
     w_self = jnp.einsum("h,hio->io", s_self, params.w)
     out = out + jnp.dot(x_local, w_self, preferred_element_type=x_local.dtype)
+    out = out / (deg + 1.0)[:, None] + params.b
+    if node_mask is not None:
+        out = out * node_mask.astype(out.dtype)[:, None]
+    return out
+
+
+def halo_feast_conv_banded(
+    params, x_local, band: dict, deg, send_idx_self, axis: str,
+    node_mask=None, compute_dtype=None,
+):
+    """Banded Pallas FeaStConv per halo shard: intra-partition edges run
+    through the gather-free banded kernel (ops/banded_pallas.py, local
+    slots RCM-ordered via partition_rcm_priority), boundary edges through a
+    small dense-table correction over the halo buffers.  The FeaSt softmax
+    is per-edge, so the two numerators are exactly additive; deg counts
+    both sets.  `band` = this chip's slice of partition.halo_band_arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    from geobignn_tpu.ops import table as tbl
+    from geobignn_tpu.ops.banded_pallas import banded_aggregate
+
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16
+
+    ext = halo_exchange(x_local, send_idx_self, axis, rev_send=band["rev_send"])
+
+    # intra-partition band edges: rank-H factorized softmax halves
+    a = x_local @ params.u
+    p = jnp.exp(a - jax.lax.stop_gradient(a.max(axis=1, keepdims=True)))
+    ca = params.c - a
+    r = jnp.exp(ca - jax.lax.stop_gradient(ca.max(axis=1, keepdims=True)))
+    num = banded_aggregate(r, p, x_local, params.w, band["m"], compute_dtype,
+                           frozenset((axis,)))
+
+    # boundary edges: per-edge softmax over the gathered halo features
+    xnb = tbl.table_gather(ext, band["nbr_b"], band["rev_b"])  # (n_loc, Kb, C)
+    s = jnp.einsum("nkc,ch->nkh", xnb - x_local[:, None, :], params.u) + params.c
+    q = jax.nn.softmax(s, axis=-1) * band["kmask_b"][..., None]
+    z = jnp.einsum("nkh,nkc->nhc", q, xnb)
+    num = num + jnp.einsum("nhc,hco->no", z, params.w)
+
+    s_self = jax.nn.softmax(params.c)
+    w_self = jnp.einsum("h,hio->io", s_self, params.w)
+    out = num + jnp.dot(x_local, w_self, preferred_element_type=jnp.float32)
     out = out / (deg + 1.0)[:, None] + params.b
     if node_mask is not None:
         out = out * node_mask.astype(out.dtype)[:, None]

@@ -120,6 +120,102 @@ def test_halo_table_conv_matches_coo_path():
     np.testing.assert_allclose(gins[0], gins[1], atol=2e-4)
 
 
+def test_halo_banded_conv_matches_table_path():
+    """Banded-Pallas halo conv (RCM-ordered shards + boundary-table
+    correction) == dense-table halo conv, strict in f32; the full banded
+    halo U-Net matches the table U-Net at bf16 tolerance."""
+    from geobignn_tpu.ops.feastconv import init_feast_params
+
+    n_parts = 2
+    m = synth.add_noise(synth.icosphere(2), 0.2, seed=7)
+    n = m.n_vertices
+    ei = graphs.build_vertex_graph_1ring(m.ev_indices, n)
+    _, w = graphs.weighted_graph(ei, n, m.points, np.ones_like(m.points))
+    x = np.random.default_rng(9).normal(size=(n, 6)).astype(np.float32)
+    owner = hp.partition_nodes(ei, n, n_parts, seed=8)
+    specs = build_hierarchy(ei, w, x, n, owner=owner)
+
+    # banded branch carries BOTH band0 and tab0 over the SAME slot space
+    hb = hm.build_halo_branch(ei, w, n, specs, owner, banded=True)
+    assert hb.band0 is not None
+    # real intra edges actually landed in the band (not everything boundary)
+    assert hb.band0["m"].sum() > 0
+    d = hm.branch_device_arrays(hb)
+    x_loc = jnp.asarray(hp.shard_features(x, hb.levels[0]))
+    fp = init_feast_params(jax.random.PRNGKey(2), 6, 16, heads=9)
+    mesh = make_mesh(1, n_parts)
+
+    def run(conv_fn):
+        def fn(x_l, d_l):
+            sl = jax.tree.map(lambda a: a[0], d_l)
+            return conv_fn(x_l[0], sl)[None]
+
+        return jax.jit(
+            jax.shard_map(fn, mesh=mesh,
+                          in_specs=(P("gp"), jax.tree.map(lambda _: P("gp"), d)),
+                          out_specs=P("gp"), check_vma=False)
+        )(x_loc, jax.tree.map(jnp.asarray, d))
+
+    import jax.numpy as _jnp
+
+    out_band = run(lambda x_l, sl: hp.halo_feast_conv_banded(
+        fp, x_l, sl["band0"], sl["deg0"], sl["send0"], "gp",
+        node_mask=sl["mask0"], compute_dtype=_jnp.float32))
+    out_tab = run(lambda x_l, sl: hp.halo_feast_conv_table(
+        fp, x_l, sl["tab0"], sl["deg0"], sl["send0"], "gp",
+        node_mask=sl["mask0"]))
+    np.testing.assert_allclose(np.asarray(out_band), np.asarray(out_tab),
+                               rtol=5e-4, atol=5e-5)
+
+    # gradients w.r.t. x through the banded custom VJP == table-path AD
+    def grad_of(conv_fn):
+        def fn(x_l, d_l):
+            sl = jax.tree.map(lambda a: a[0], d_l)
+            return (conv_fn(x_l[0], sl) ** 2).sum()
+
+        g = jax.grad(
+            lambda x_l: jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(P("gp"), jax.tree.map(lambda _: P("gp"), d)),
+                out_specs=P(), check_vma=False,
+            )(x_l, jax.tree.map(jnp.asarray, d))
+        )
+        return np.asarray(jax.jit(g)(x_loc))
+
+    g_band = grad_of(lambda x_l, sl: hp.halo_feast_conv_banded(
+        fp, x_l, sl["band0"], sl["deg0"], sl["send0"], "gp",
+        node_mask=sl["mask0"], compute_dtype=_jnp.float32))
+    g_tab = grad_of(lambda x_l, sl: hp.halo_feast_conv_table(
+        fp, x_l, sl["tab0"], sl["deg0"], sl["send0"], "gp",
+        node_mask=sl["mask0"]))
+    np.testing.assert_allclose(g_band, g_tab, rtol=5e-4, atol=5e-4)
+
+    # full banded U-Net (default bf16 kernel compute) vs table U-Net
+    raw = RawBranch(x=x, y=None, edge_index=ei, edge_weight=w,
+                    specs=specs, n_nodes=n)
+    branch = _pad_branch(raw, structs.BranchSizes.plan(raw.counts(), 16))
+    params = jax.tree.map(
+        np.asarray,
+        GNNModule().init(jax.random.PRNGKey(3), branch,
+                         jnp.asarray(branch.x))["params"],
+    )
+    d_tab = {k: v for k, v in d.items() if k != "band0"}
+
+    def run_mod(dd):
+        def fn(p, x_l, d_l):
+            sl = jax.tree.map(lambda a: a[0], d_l)
+            return hm.halo_gnn_module(p, x_l[0], sl, axis="gp")[None]
+
+        return np.asarray(jax.jit(
+            jax.shard_map(fn, mesh=mesh,
+                          in_specs=(P(), P("gp"),
+                                    jax.tree.map(lambda _: P("gp"), dd)),
+                          out_specs=P("gp"), check_vma=False)
+        )(params, x_loc, jax.tree.map(jnp.asarray, dd)))
+
+    np.testing.assert_allclose(run_mod(d), run_mod(d_tab), atol=2e-2)
+
+
 def test_halo_dual_gnn_matches_single_device():
     """Full bi-domain model over 4-way halo shards == DualGNN."""
     from geobignn_tpu.data.builder import BuildConfig, build_raw, plan_for, _pad_branch
