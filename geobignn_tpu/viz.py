@@ -93,3 +93,27 @@ def normal_error_heatmap(path, mesh_result, mesh_original):
     err = ((nr - no) ** 2).sum(1)
     ang = np.degrees(np.arccos(np.clip(1 - err / 2, -1, 1)))
     return write_off_face_colors(path, mesh_result.points, mesh_result.fv_indices, ang)
+
+
+def plot_pool_levels(pos, edge_index, specs, path_prefix="pool"):
+    """Snapshot every pooling level of a hierarchy: level-0 graph plus each
+    coarsened graph at segment-mean pooled positions.
+
+    Capability parity: the reference's pooled-graph debug hooks
+    (GNNModule.forward(plot_pool=), code/network.py:274-284, and
+    PoolingLayer.forward(visual=), code/net_util.py:85-122) which plot or
+    dump the coarsened mesh after each graclus round.  Returns the list of
+    written paths."""
+    paths = [f"{path_prefix}_l0.png"]
+    plot_graph(pos, edge_index, path=paths[0])
+    cur = np.asarray(pos, np.float64)
+    for i, spec in enumerate(specs, start=1):
+        nxt = np.zeros((spec.n_out, cur.shape[1]))
+        cnt = np.zeros(spec.n_out)
+        np.add.at(nxt, spec.unpool, cur)
+        np.add.at(cnt, spec.unpool, 1.0)
+        cur = nxt / np.maximum(cnt, 1.0)[:, None]
+        p = f"{path_prefix}_l{i}.png"
+        plot_graph(cur, spec.edge_index, path=p)
+        paths.append(p)
+    return paths

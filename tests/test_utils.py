@@ -81,3 +81,24 @@ def test_gt_transfer(tmp_path):
     assert len(out) == 3
     for p in out:
         assert open(p).readline().strip() == "OFF"
+
+
+def test_plot_pool_levels(tmp_path):
+    """Pooled-graph debug plots: one PNG per hierarchy level."""
+    import numpy as np
+
+    from geobignn_tpu import graphs, viz
+    from geobignn_tpu.data import synth
+    from geobignn_tpu.pool.hierarchy import build_hierarchy
+
+    m = synth.icosphere(1)
+    ei = graphs.build_vertex_graph_1ring(m.ev_indices, m.n_vertices)
+    _, w = graphs.weighted_graph(ei, m.n_vertices, m.points,
+                                 np.ones_like(m.points))
+    x = np.concatenate([m.points, np.ones_like(m.points)], axis=1).astype(np.float32)
+    specs = build_hierarchy(ei, w, x, m.n_vertices)
+    paths = viz.plot_pool_levels(m.points, ei, specs,
+                                 path_prefix=str(tmp_path / "pool"))
+    assert len(paths) == len(specs) + 1
+    for p in paths:
+        assert (tmp_path / p.split("/")[-1]).stat().st_size > 0
