@@ -261,10 +261,12 @@ def widths_for(
 
         def tiles(b: RawBranch):
             s1, s2 = b.specs
-            return tuple(
+            picked = tuple(
                 banded.pick_tile(banded.bandwidth_of(ei))
                 for ei in (b.edge_index, s1.edge_index, s2.edge_index)
             )
+            # 0 = level stays on the dense-table path (band too wide)
+            return tuple(t if t <= banded.MAX_BAND_TILE else 0 for t in picked)
 
         tile_v, tile_f = tiles(bv), tiles(bf)
     return TableWidths(k_v, k_f, mem_v, mem_f, up_v, up_f, fv_r, tile_v, tile_f)
@@ -346,7 +348,7 @@ def attach_tables(
         sample.f, w.k_f if w else None, w.mem_f if w else None,
         w.up_f if w else None,
     )
-    if w is not None and all(w.tile_v) and all(w.tile_f):
+    if w is not None and (any(w.tile_v) or any(w.tile_f)):
         new_v = attach_band(new_v, w.tile_v)
         new_f = attach_band(new_f, w.tile_f)
     return sample.replace(v=new_v, f=new_f, fv_rev=fv_rev)
@@ -362,6 +364,9 @@ def attach_band(branch: structs.BranchGraph, tiles: tuple) -> structs.BranchGrap
 
     levels = []
     for lvl, tile in zip(branch.levels, tiles):
+        if not tile:  # band wider than MAX_BAND_TILE: stay on the table path
+            levels.append(lvl)
+            continue
         n = np.asarray(lvl.node_mask).shape[0]
         n_band = structs.round_up(n, tile)
         mask = banded.band_mask_np(np.asarray(lvl.edge_index), n_band, tile)

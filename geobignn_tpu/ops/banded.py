@@ -105,6 +105,15 @@ def pick_tile(bandwidth: int, granularity: int = 128, min_tile: int = 128) -> in
     return max(min_tile, round_up(max(bandwidth, 1), granularity))
 
 
+# Above this tile the banded formulation cannot run: the (T, 3T) f32 block
+# intermediates outgrow scoped VMEM (78 MB > the 64 MB limit at tile 1408,
+# the 327k-face facet graph) — callers fall back to the dense-table path
+# for that level.  Measured at 327k faces (B=1 full train step): banding
+# the vertex L1 at tile 768 still wins, 15.4e6 vs 13.5e6 edges/s with L1
+# fully on tables, despite ~0.3% band density.
+MAX_BAND_TILE = 768
+
+
 # --------------------------------------------------------------------------
 # device side
 # --------------------------------------------------------------------------

@@ -267,6 +267,11 @@ def _call_fwd(r, p, x, w, m, compute_dtype, vma=None):
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=m.size + 3 * x.size * 4, transcendentals=0
         ),
+        compiler_params=pltpu.CompilerParams(
+            # default scoped-vmem limit is 16 MB; the f32 (T, 3T) D/mask
+            # intermediates exceed it at tile >= 768 (327k-face meshes)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(r_blk, pt, pt, pt, xb, xb, xb, m, w_flat)
     return out.reshape(n, c_out)
