@@ -58,6 +58,13 @@ def main(argv=None):
     p_inf.add_argument("--data_dir", default=None)
     p_inf.add_argument("--dataset_root", default=None)
     p_inf.add_argument("--sub_size", type=int, default=None)
+    p_inf.add_argument("--halo_parts", type=int, default=None,
+                       help="node-partition each mesh over this many chips "
+                       "(halo-sharded whole-mesh inference) instead of "
+                       "submesh stitching")
+    p_inf.add_argument("--halo_banded", action="store_true",
+                       help="run the halo convs through the banded Pallas "
+                       "kernels (RCM-ordered shards)")
 
     p_ev = sub.add_parser("eval")
     p_ev.add_argument("--result_dir", required=True)
@@ -84,7 +91,8 @@ def main(argv=None):
     elif args.cmd == "infer":
         from geobignn_tpu.infer.predict import predict_dir
 
-        predict_dir(args.run_dir, args.data_dir, args.dataset_root, args.sub_size)
+        predict_dir(args.run_dir, args.data_dir, args.dataset_root, args.sub_size,
+                    halo_parts=args.halo_parts, halo_banded=args.halo_banded)
     elif args.cmd == "eval":
         from geobignn_tpu.infer.evaluate import eval_denoising_result
 

@@ -206,7 +206,11 @@ class TableWidths:
 
     def merge(self, other: "TableWidths") -> "TableWidths":
         mx = lambda a, b: tuple(max(x, y) for x, y in zip(a, b))
-        both = lambda a, b: mx(a, b) if all(a) and all(b) else (0, 0, 0)
+        # tiles merge PER LEVEL: a level bands only if it bands in both
+        # operands (0 = table fallback there), other levels keep their band
+        both = lambda a, b: tuple(
+            max(x, y) if x and y else 0 for x, y in zip(a, b)
+        )
         return TableWidths(
             k_v=mx(self.k_v, other.k_v), k_f=mx(self.k_f, other.k_f),
             mem_v=mx(self.mem_v, other.mem_v), mem_f=mx(self.mem_f, other.mem_f),

@@ -189,11 +189,14 @@ class Predictor:
         mesh_n: meshio.TriMesh,
         n_update_iters: int = 60,
         halo_parts: int | None = None,
+        halo_banded: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Full pipeline: predict + integrate normals; returns (V, Np).
-        halo_parts > 1 uses the halo-sharded multi-chip path."""
+        halo_parts > 1 uses the halo-sharded multi-chip path; halo_banded
+        routes its level-1 convs through the banded Pallas kernels."""
         if halo_parts and halo_parts > 1:
-            vp, np_arr = self.predict_mesh_halo(mesh_n, halo_parts)
+            vp, np_arr = self.predict_mesh_halo(mesh_n, halo_parts,
+                                                banded=halo_banded)
         else:
             vp, np_arr = self.predict_mesh(mesh_n)
         depth = None
@@ -225,9 +228,14 @@ def predict_dir(
     dataset_root: str | None = None,
     sub_size: int | None = None,
     n_update_iters: int = 60,
+    halo_parts: int | None = None,
+    halo_banded: bool = False,
 ) -> dict:
     """Denoise every test mesh of a run's data_type; writes `{name}-60.obj`
-    into `result_{flag}` and reports face-weighted angle1/angle2 means."""
+    into `result_{flag}` and reports face-weighted angle1/angle2 means.
+    halo_parts > 1 routes every mesh through the halo-sharded multi-chip
+    path (Predictor.predict_mesh_halo) instead of submesh stitching;
+    halo_banded selects its banded Pallas conv mode."""
     pred = Predictor.from_run(run_dir, sub_size)
     cfg = pred.cfg
 
@@ -252,7 +260,8 @@ def predict_dir(
     for noisy_path, orig_path in pairs:
         t0 = time.time()
         mesh_n = meshio.read_obj(noisy_path)
-        v, np_arr = pred.denoise(mesh_n, n_update_iters)
+        v, np_arr = pred.denoise(mesh_n, n_update_iters, halo_parts=halo_parts,
+                                 halo_banded=halo_banded)
         base = os.path.splitext(os.path.basename(noisy_path))[0]
         out_path = os.path.join(result_dir, f"{base}-{n_update_iters}.obj")
         meshio.write_obj(out_path, v, mesh_n.fv_indices)

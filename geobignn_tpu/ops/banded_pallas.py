@@ -251,7 +251,7 @@ def _call_fwd(r, p, x, w, m, compute_dtype, vma=None):
     c_out = w.shape[2]
     w_flat = w.reshape(heads * c_in, c_out)
     if vma is not None:  # lift replicated operands to the varying set
-        w_flat = jax.lax.pcast(w_flat, to='varying', axes=tuple(vma))
+        w_flat = jax.lax.pcast(w_flat, tuple(vma), to='varying')
     r_blk = r.reshape(n_blk, tile, heads)
     pt = jnp.moveaxis(_pad_blocks(p, tile), -1, -2)  # (B+2, H, T)
     xb = _pad_blocks(x, tile)  # (B+2, T, C)
@@ -308,7 +308,7 @@ def _banded_aggregate_bwd(compute_dtype, vma, res, gout):
     c_out = w.shape[2]
     w_flat = w.reshape(heads * c_in, c_out)
     if vma is not None:
-        w_flat = jax.lax.pcast(w_flat, to='varying', axes=tuple(vma))
+        w_flat = jax.lax.pcast(w_flat, tuple(vma), to='varying')
     r_blk = r.reshape(n_blk, tile, heads)
     pt = jnp.moveaxis(_pad_blocks(p, tile), -1, -2)
     xb = _pad_blocks(x, tile)

@@ -69,15 +69,19 @@ def build_halo_branch(
     Levels 2-3 keep the table path (they are ~16x smaller)."""
     band0 = None
     if banded:
-        from geobignn_tpu.ops.banded import pick_tile
+        from geobignn_tpu.ops.banded import MAX_BAND_TILE, pick_tile
 
         pri, bw = hp.partition_rcm_priority(edge_index, n_nodes, owner)
         tile = pick_tile(bw)
-        sh1 = hp.build_halo_sharding(
-            edge_index, edge_weight, n_nodes, owner, tile, priority=pri
-        )
-        band0 = hp.halo_band_arrays(sh1, tile, granularity)
-    else:
+        if tile > MAX_BAND_TILE:  # band too wide for scoped VMEM: fall back
+            banded = False  # to the dense-table path (same gate as builder)
+        else:
+            sh1 = hp.build_halo_sharding(
+                edge_index, edge_weight, n_nodes, owner, granularity,
+                priority=pri, n_granularity=tile,
+            )
+            band0 = hp.halo_band_arrays(sh1, tile, granularity)
+    if not banded:
         sh1 = hp.build_halo_sharding(
             edge_index, edge_weight, n_nodes, owner, granularity
         )
@@ -112,7 +116,10 @@ def build_halo_branch(
     unpool1 = _localize_map(s1.unpool, sh1, sh2)
     unpool2 = _localize_map(s2.unpool, sh2, sh3)
     tables = (
-        [hp.halo_tables(sh, granularity) for sh in (sh1, sh2, sh3)]
+        # level 0 is covered by band0 in banded mode: its dense tables (the
+        # largest arrays in the sample) would be dead HBM weight
+        [None if band0 is not None and i == 0 else hp.halo_tables(sh, granularity)
+         for i, sh in enumerate((sh1, sh2, sh3))]
         if with_tables
         else None
     )
@@ -130,13 +137,18 @@ def branch_device_arrays(hb: HaloBranch) -> dict:
     """The (P, ...) arrays a shard_map step consumes, as one dict pytree."""
     d = {}
     for i, sh in enumerate(hb.levels):
-        d[f"ei{i}"] = sh.edge_index
+        covered = (hb.band0 is not None and i == 0) or (
+            hb.tables is not None and hb.tables[i] is not None
+        )
+        if not covered:  # COO list only shipped when it's the active path
+            d[f"ei{i}"] = sh.edge_index
         d[f"deg{i}"] = sh.deg
         d[f"send{i}"] = sh.send_idx
         d[f"mask{i}"] = sh.node_mask
     if hb.tables is not None:
         for i, tab in enumerate(hb.tables):
-            d[f"tab{i}"] = tab
+            if tab is not None:
+                d[f"tab{i}"] = tab
     if hb.band0 is not None:
         d["band0"] = hb.band0
     for i, cl in enumerate(hb.clusters_loc):

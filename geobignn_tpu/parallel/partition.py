@@ -96,14 +96,20 @@ def build_halo_sharding(
     owner: np.ndarray,
     granularity: int = 8,
     priority: np.ndarray | None = None,
+    n_granularity: int | None = None,
 ) -> HaloSharding:
     """`priority` (n,) optionally orders nodes WITHIN their partition (lower
     first) — e.g. a per-partition RCM rank (partition_rcm_priority), which
     makes every chip's local graph band-limited so the banded Pallas conv
-    applies per shard.  Default: id order."""
+    applies per shard.  Default: id order.
+
+    `n_granularity` rounds n_loc separately (the banded kernel needs
+    n_loc % tile == 0) while h_pad/e_loc keep the small `granularity` —
+    rounding halo buffers up to a 768-wide tile would multiply the
+    all_to_all payload and the reverse tables for nothing."""
     p_cnt = int(owner.max()) + 1
     counts = np.bincount(owner, minlength=p_cnt)
-    n_loc = round_up(int(counts.max()) + 1, granularity)
+    n_loc = round_up(int(counts.max()) + 1, n_granularity or granularity)
     trash_loc = n_loc - 1
 
     # vectorized slot assignment: nodes keep id (or priority) order within

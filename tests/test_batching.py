@@ -43,3 +43,21 @@ def test_union_batch_matches_per_sample_forward():
             np.asarray(n_s)[mask_f],
             atol=3e-5,
         )
+
+
+def test_table_widths_merge_tiles_per_level():
+    """A level that bands in both operands keeps its (max) tile; a level
+    that fell back to tables (tile 0) in either operand stays 0 — merging
+    must not collapse the whole tuple (regression: all-or-nothing merge
+    reverted every level of every merged sample to the table path)."""
+    import dataclasses
+
+    from geobignn_tpu.data.builder import TableWidths
+
+    base = dict(k_v=(8, 8, 8), k_f=(8, 8, 8), mem_v=(4, 4, 4, 4),
+                mem_f=(4, 4, 4, 4), up_v=(2, 2), up_f=(2, 2), fv_r=8)
+    a = TableWidths(**base, tile_v=(0, 128, 128), tile_f=(384, 256, 128))
+    b = TableWidths(**base, tile_v=(768, 256, 128), tile_f=(384, 0, 256))
+    m = a.merge(b)
+    assert m.tile_v == (0, 256, 128)
+    assert m.tile_f == (384, 0, 256)

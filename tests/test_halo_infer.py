@@ -52,3 +52,21 @@ def test_halo_denoise_runs_end_to_end():
     v, np_arr = pred.denoise(m_n, n_update_iters=5, halo_parts=8)
     assert v.shape == (m_n.n_vertices, 3)
     assert np.isfinite(v).all() and np.isfinite(np_arr).all()
+
+
+def test_halo_denoise_banded_matches_table_mode():
+    """halo_banded end-to-end through Predictor.denoise: same predictions
+    as the table-mode halo path (bf16 kernel tolerance; on the CPU test
+    mesh the XLA twin of the kernel runs, see ops/banded_pallas.py)."""
+    m_o = synth.icosphere(2)
+    m_n = synth.add_noise(m_o, 0.15, seed=2)
+    cfg = Config(granularity=64, seed=0)
+    model = DualGNN()
+    s, _ = build_dual_sample(m_n, m_o, cfg.build_config())
+    params = model.init(jax.random.PRNGKey(5), s)
+    pred = Predictor(cfg, params)
+    v_b, n_b = pred.denoise(m_n, n_update_iters=3, halo_parts=4,
+                            halo_banded=True)
+    v_t, n_t = pred.denoise(m_n, n_update_iters=3, halo_parts=4)
+    np.testing.assert_allclose(v_b, v_t, atol=2e-2)
+    np.testing.assert_allclose(n_b, n_t, atol=5e-2)

@@ -135,12 +135,15 @@ def test_halo_banded_conv_matches_table_path():
     owner = hp.partition_nodes(ei, n, n_parts, seed=8)
     specs = build_hierarchy(ei, w, x, n, owner=owner)
 
-    # banded branch carries BOTH band0 and tab0 over the SAME slot space
     hb = hm.build_halo_branch(ei, w, n, specs, owner, banded=True)
     assert hb.band0 is not None
     # real intra edges actually landed in the band (not everything boundary)
     assert hb.band0["m"].sum() > 0
     d = hm.branch_device_arrays(hb)
+    assert "tab0" not in d and "ei0" not in d  # band covers level 0
+    # build level-0 tables explicitly over the SAME (banded) slot space for
+    # the comparison conv
+    d["tab0"] = hp.halo_tables(hb.levels[0])
     x_loc = jnp.asarray(hp.shard_features(x, hb.levels[0]))
     fp = init_feast_params(jax.random.PRNGKey(2), 6, 16, heads=9)
     mesh = make_mesh(1, n_parts)
