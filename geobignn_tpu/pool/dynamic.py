@@ -78,7 +78,7 @@ class GNNModuleDynamic(nn.Module):
     wei_param: float = 2.0
 
     @nn.compact
-    def __call__(self, x, edge_index, edge_weight):
+    def __call__(self, x, edge_index, edge_weight, level1=None):
         from geobignn_tpu.models.dual_gnn import FeaStConv, LEAKY_SLOPE
         from geobignn_tpu.structs import GraphLevel
 
@@ -97,7 +97,13 @@ class GNNModuleDynamic(nn.Module):
                 node_mask=jnp.ones(n_pad),
             )
 
-        x1 = act(FeaStConv(32, self.heads, rows_sorted=False, name="l_conv1")(x, lvl(edge_index)))
+        # pooling only changes the COARSE graphs: when the sample carries a
+        # precomputed level-1 GraphLevel (dense tables / band mask from
+        # attach_tables), the three level-1 convs take the fast formulations
+        # while levels 2-3 stay fully dynamic
+        lvl1 = level1 if level1 is not None else lvl(edge_index)
+
+        x1 = act(FeaStConv(32, self.heads, rows_sorted=False, name="l_conv1")(x, lvl1))
         x2, ei2, w2, un1 = DynamicPooling(
             32, self.pool_type, 2, self.edge_weight_type, self.wei_param,
             name="pooling1",
@@ -116,9 +122,9 @@ class GNNModuleDynamic(nn.Module):
         x2 = act(FeaStConv(64, self.heads, rows_sorted=False, name="r_conv2")(x2, lvl(ei2)))
 
         u1 = x2[un1]
-        u1 = FeaStConv(32, self.heads, rows_sorted=False, name="r_conv3")(u1, lvl(edge_index))
+        u1 = FeaStConv(32, self.heads, rows_sorted=False, name="r_conv3")(u1, lvl1)
         x1 = jnp.concatenate([x1, u1], axis=1)
-        return act(FeaStConv(32, self.heads, rows_sorted=False, name="r_conv4")(x1, lvl(edge_index)))
+        return act(FeaStConv(32, self.heads, rows_sorted=False, name="r_conv4")(x1, lvl1))
 
 
 class DualGNNDynamic(nn.Module):
@@ -144,7 +150,8 @@ class DualGNNDynamic(nn.Module):
             name="gnn_v",
         )
         feat_v = gv(
-            sample.v.x, sample.v.levels[0].edge_index, sample.v.levels[0].edge_weight
+            sample.v.x, sample.v.levels[0].edge_index,
+            sample.v.levels[0].edge_weight, level1=sample.v.levels[0],
         )
         h = act(nn.Dense(1024, name="fc_v1")(feat_v))
         d = nn.Dense(1 if self.force_depth else 3, name="fc_v2")(h)
@@ -161,7 +168,8 @@ class DualGNNDynamic(nn.Module):
             name="gnn_f",
         )
         feat_f = gf(
-            x_f, sample.f.levels[0].edge_index, sample.f.levels[0].edge_weight
+            x_f, sample.f.levels[0].edge_index,
+            sample.f.levels[0].edge_weight, level1=sample.f.levels[0],
         )
         h = act(nn.Dense(1024, name="fc_f1")(feat_f))
         n = nn.Dense(3, name="fc_f2")(h)

@@ -106,3 +106,26 @@ def test_dynamic_dual_gnn_forward_and_grads(wt):
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
     gmax = max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g))
     assert gmax > 0
+
+
+def test_dynamic_model_uses_precomputed_level1_tables():
+    """DualGNNDynamic with an attach_tables sample (dense-table level-1
+    convs) == the same model on the bare sample (COO level-1 convs):
+    pooling only changes the coarse graphs, so the fast level-1 formulation
+    must be output-identical."""
+    import jax
+
+    from geobignn_tpu.data.builder import attach_tables
+
+    m_o = synth.icosphere(2)
+    m_n = synth.add_noise(m_o, 0.2, seed=4)
+    sample, _ = build_dual_sample(m_n, m_o, BuildConfig(granularity=64))
+    fast = attach_tables(sample)
+    assert fast.v.levels[0].nbr is not None
+
+    model = DualGNNDynamic(edge_weight_type=10)
+    params = model.init(jax.random.PRNGKey(0), sample)
+    v0, n0 = jax.jit(model.apply)(params, sample)
+    v1, n1 = jax.jit(model.apply)(params, fast)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n0), atol=2e-4)
