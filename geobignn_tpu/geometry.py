@@ -63,12 +63,32 @@ def face_normals_np(points: np.ndarray, fv_indices: np.ndarray) -> np.ndarray:
 
 
 def vertex_normals_np(
-    points: np.ndarray, fv_indices: np.ndarray, n_vertices: int | None = None
+    points: np.ndarray,
+    fv_indices: np.ndarray,
+    n_vertices: int | None = None,
+    weighting: str = "uniform",
 ) -> np.ndarray:
-    """Unit vertex normals: normalize(sum of incident unit face normals)."""
+    """Unit vertex normals: normalize(weighted sum of incident face normals).
+
+    weighting="uniform" (default) sums UNIT face normals — exactly OpenMesh's
+    `update_vertex_normals` (code/dataset.py:199), whose default
+    `calc_vertex_normal` delegates to `calc_vertex_normal_fast`:
+    `for vf_it: n += normal(*vf_it)` over unit face normals
+    (OpenMesh PolyMeshT_impl.hh).  So the reference's vertex-branch inputs
+    use uniform weighting, not angle/area weighting.
+
+    weighting="area" sums UNNORMALIZED cross products (magnitude = 2x face
+    area), provided for robustness experiments on meshes with skewed
+    triangle sizes."""
     if n_vertices is None:
         n_vertices = points.shape[0]
-    fn = face_normals_np(points, fv_indices)
+    if weighting == "uniform":
+        fn = face_normals_np(points, fv_indices)
+    elif weighting == "area":
+        fv = points[fv_indices]
+        fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    else:
+        raise ValueError(f"unknown weighting '{weighting}'")
     acc = np.zeros((n_vertices, 3), dtype=np.float64)
     for c in range(3):
         np.add.at(acc, fv_indices[:, c], fn)

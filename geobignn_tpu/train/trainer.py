@@ -314,7 +314,11 @@ class Trainer:
                 n_f=m["n_f"],
             )
             sums = jax.tree.map(lambda a, b: a + b, sums, w)
-        cv, cf = float(sums["n_v"]), float(sums["n_f"])
+        # guard: an all-padded eval set yields zero valid nodes; surfacing
+        # inf into the plateau key would poison LR scheduling silently
+        cv, cf = max(float(sums["n_v"]), 1.0), max(float(sums["n_f"]), 1.0)
+        if float(sums["n_v"]) == 0.0 or float(sums["n_f"]) == 0.0:
+            print("WARNING: eval pass saw zero valid nodes; metrics are zeros")
         out = dict(
             loss_v=float(sums["loss_v"]) / cv,
             error_v=float(sums["error_v"]) / cv,

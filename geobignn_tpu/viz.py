@@ -84,6 +84,51 @@ def write_off_face_colors(path, points, fv_indices, face_values, cmap="jet"):
     return path
 
 
+def write_off_vertex_colors(path, points, fv_indices, vertex_values, cmap="jet",
+                            clip_val=None):
+    """Export a mesh with per-vertex scalar colors as .off (the reference's
+    `point_to_mesh_obj` capability, code/data_util.py:641-679: vertices of
+    the result mesh colored by a distance field, jet colormap, values
+    clipped to `clip_val` before normalization)."""
+    import matplotlib.cm as cm
+
+    v = np.asarray(vertex_values, dtype=float)
+    if clip_val is not None:
+        v = np.clip(v, 0.0, clip_val)
+        v = v / max(clip_val, 1e-12)
+    else:
+        v = (v - v.min()) / max(v.max() - v.min(), 1e-12)
+    rgba = getattr(cm, cmap)(v) if hasattr(cm, cmap) else cm.get_cmap(cmap)(v)
+    p = np.asarray(points)
+    f = np.asarray(fv_indices)
+    with open(path, "w") as fh:
+        fh.write("COFF\n")
+        fh.write(f"{len(p)} {len(f)} 0\n")
+        for q, c in zip(p, rgba):
+            fh.write(
+                f"{q[0]:.8g} {q[1]:.8g} {q[2]:.8g} "
+                f"{c[0]:.4f} {c[1]:.4f} {c[2]:.4f} {c[3]:.4f}\n"
+            )
+        for face in f:
+            fh.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+    return path
+
+
+def hausdorff_heatmap(path, mesh_result, mesh_original, clip_frac=0.8):
+    """Color each vertex of the result mesh by its nearest distance to the
+    original mesh's vertices (reference point_to_mesh_obj semantics: jet
+    colormap, clip at clip_frac * max distance, code/data_util.py:661-664)."""
+    from geobignn_tpu.models.losses import nearest_distance
+
+    d = np.asarray(
+        nearest_distance(mesh_result.points, mesh_original.points)
+    )
+    clip_val = float(d.max()) * clip_frac
+    return write_off_vertex_colors(
+        path, mesh_result.points, mesh_result.fv_indices, d, clip_val=clip_val
+    )
+
+
 def normal_error_heatmap(path, mesh_result, mesh_original):
     """Color each face of the result by its angular normal error (deg)."""
     from geobignn_tpu import geometry

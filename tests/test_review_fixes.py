@@ -90,3 +90,80 @@ def test_plateau_state_checkpointed(tmp_path):
     tr2.restore(str(tmp_path / "ckpt_last.pkl"))
     assert tr2._restored_plateau is not None
     assert "lr" in tr2._restored_plateau
+
+
+# ---------------------------------------------------------------------------
+# round-2 review fixes (VERDICT r1 weak #7/#8, missing #8/#9)
+# ---------------------------------------------------------------------------
+
+def test_tablewidths_merge_logs_band_drop(capsys):
+    from geobignn_tpu.data import builder
+
+    builder._BAND_DROPS_WARNED.clear()
+    a = builder.TableWidths(
+        k_v=(8, 8, 8), k_f=(8, 8, 8), mem_v=(2, 2, 2, 2), mem_f=(2, 2, 2, 2),
+        up_v=(1, 1), up_f=(1, 1), fv_r=8,
+        tile_v=(128, 128, 0), tile_f=(256, 0, 0),
+    )
+    b = builder.TableWidths(
+        k_v=(8, 8, 8), k_f=(8, 8, 8), mem_v=(2, 2, 2, 2), mem_f=(2, 2, 2, 2),
+        up_v=(1, 1), up_f=(1, 1), fv_r=8,
+        tile_v=(128, 0, 0), tile_f=(256, 0, 0),  # v level-2 band drops
+    )
+    m = a.merge(b)
+    assert m.tile_v == (128, 0, 0) and m.tile_f == (256, 0, 0)
+    out = capsys.readouterr().out
+    assert "banded conv dropped at vertex level 2" in out
+    # warned once only
+    a.merge(b)
+    assert "dropped" not in capsys.readouterr().out
+
+
+def test_evaluate_empty_masks_no_nan(capsys):
+    """All-padded eval samples must not produce inf/NaN in the plateau key."""
+    import jax
+
+    ds = _tiny_ds()
+    cfg = Config(max_epoch=1, seed=1, granularity=64)
+    tr = Trainer(cfg, ds, ds)
+    # zero out the masks of the cached eval sample to simulate all-padding
+    s = ds.get(0, tr.plan)
+    z = s.replace(
+        v=s.v.replace(levels=(s.v.levels[0].replace(
+            node_mask=np.zeros_like(np.asarray(s.v.levels[0].node_mask))),)
+            + s.v.levels[1:]),
+        f=s.f.replace(levels=(s.f.levels[0].replace(
+            node_mask=np.zeros_like(np.asarray(s.f.levels[0].node_mask))),)
+            + s.f.levels[1:]),
+    )
+    tr._cache[("e", 0)] = jax.device_put(z)
+    out = tr.evaluate()
+    assert np.isfinite(out["error_f"]) and np.isfinite(out["loss_v"])
+    assert "zero valid nodes" in capsys.readouterr().out
+
+
+def test_vertex_colored_off_export(tmp_path):
+    from geobignn_tpu import viz
+    from geobignn_tpu.data import synth
+
+    m_o = synth.icosphere(1)
+    m_n = synth.add_noise(m_o, 0.05, seed=0)
+    p = viz.hausdorff_heatmap(str(tmp_path / "h.off"), m_n, m_o)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "COFF"
+    nv, nf, _ = map(int, lines[1].split())
+    assert nv == m_n.n_vertices and nf == m_n.n_faces
+    assert len(lines[2].split()) == 7  # xyz + rgba
+
+
+def test_vertex_normals_area_weighting():
+    from geobignn_tpu import geometry
+    from geobignn_tpu.data import synth
+
+    m = synth.icosphere(2)
+    vn_u = geometry.vertex_normals_np(m.points, m.fv_indices)
+    vn_a = geometry.vertex_normals_np(m.points, m.fv_indices, weighting="area")
+    # on a near-uniform sphere both agree closely and are unit
+    assert np.allclose(np.linalg.norm(vn_u, axis=1), 1.0, atol=1e-5)
+    assert np.allclose(np.linalg.norm(vn_a, axis=1), 1.0, atol=1e-5)
+    assert (vn_u * vn_a).sum(1).min() > 0.99
