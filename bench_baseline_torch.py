@@ -80,19 +80,28 @@ class TorchGNNModule(torch.nn.Module):
 
 
 class TorchDualGNN(torch.nn.Module):
-    def __init__(self, heads=9):
+    """Reference-twin DualGNN (code/network.py:303-343 semantics): vertex
+    U-Net -> residual positions (or force_depth scalar * depth ray,
+    code/network.py:326-332) -> differentiable facet rebuild -> facet U-Net
+    -> unit normals.  Used both as the measured CPU baseline and as the
+    parity oracle (tests/test_reference_parity.py) with injected params."""
+
+    def __init__(self, heads=9, force_depth=False):
         super().__init__()
+        self.force_depth = force_depth
         self.gnn_v = TorchGNNModule(6, heads)
         self.fc_v1 = torch.nn.Linear(32, 1024)
-        self.fc_v2 = torch.nn.Linear(1024, 3)
+        self.fc_v2 = torch.nn.Linear(1024, 1 if force_depth else 3)
         self.gnn_f = TorchGNNModule(12, heads)
         self.fc_f1 = torch.nn.Linear(32, 1024)
         self.fc_f2 = torch.nn.Linear(1024, 3)
 
-    def forward(self, vb, fb, fv):
+    def forward(self, vb, fb, fv, depth_direction=None):
         xyz = vb["x"][:, :3]
         h = self.gnn_v(vb["x"], vb["levels"], vb["clusters"], vb["unpools"])
         d = self.fc_v2(F.leaky_relu(self.fc_v1(h), 0.2))
+        if self.force_depth:
+            d = d * depth_direction
         vert = d + xyz
         cent = vert[fv].mean(1)
         e1 = vert[fv[:, 1]] - vert[fv[:, 0]]
