@@ -110,6 +110,12 @@ def main():
 
     edges_per_s = msgs / dt
 
+    # MFU/roofline: executed vs useful matmul FLOPs against the chip peak
+    # (BASELINE.md "speed-of-light" criterion; train/roofline.py)
+    from geobignn_tpu.train.roofline import roofline
+
+    roof = roofline(sample, dt)
+
     vs_baseline = 0.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     if os.path.exists(base_path):
@@ -126,6 +132,7 @@ def main():
                 "value": round(edges_per_s, 1),
                 "unit": "edges/s/chip",
                 "vs_baseline": round(vs_baseline, 3),
+                **roof,
             }
         )
     )

@@ -203,6 +203,9 @@ class TableWidths:
     fv_r: int
     tile_v: tuple = (0, 0, 0)  # banded-conv tile per level (0 = graph not
     tile_f: tuple = (0, 0, 0)  # band-limited / reorder off); merged as max
+    bsk_v: tuple = (0, 0, 0)  # block-sparse column-block count per level at
+    bsk_f: tuple = (0, 0, 0)  # BS_TILE (0 = not computed); merged as max —
+    # the fallback when a band is too wide or dropped at merge time
 
     def merge(self, other: "TableWidths") -> "TableWidths":
         mx = lambda a, b: tuple(max(x, y) for x, y in zip(a, b))
@@ -212,28 +215,35 @@ class TableWidths:
         # A drop is logged once per (branch, level): one over-wide sample
         # silently degrading every sample's level to tables is exactly the
         # failure mode a user needs to see (VERDICT r1 weak #7).
-        def both(a, b, tag):
+        def both(a, b, tag, bsk):
             out = []
             for lvl, (x, y) in enumerate(zip(a, b)):
                 if bool(x) != bool(y):
                     key = (tag, lvl)
                     if key not in _BAND_DROPS_WARNED:
                         _BAND_DROPS_WARNED.add(key)
+                        fb = (
+                            "the block-sparse path" if bsk[lvl]
+                            else "tables"
+                        )
                         print(
                             f"WARNING: banded conv dropped at {tag} level "
                             f"{lvl + 1} during TableWidths.merge (tiles "
-                            f"{x} vs {y}); the level falls back to tables "
+                            f"{x} vs {y}); the level falls back to {fb} "
                             f"for EVERY sample of this dataset"
                         )
                 out.append(max(x, y) if x and y else 0)
             return tuple(out)
+        bsk_v = mx(self.bsk_v, other.bsk_v)
+        bsk_f = mx(self.bsk_f, other.bsk_f)
         return TableWidths(
             k_v=mx(self.k_v, other.k_v), k_f=mx(self.k_f, other.k_f),
             mem_v=mx(self.mem_v, other.mem_v), mem_f=mx(self.mem_f, other.mem_f),
             up_v=mx(self.up_v, other.up_v), up_f=mx(self.up_f, other.up_f),
             fv_r=max(self.fv_r, other.fv_r),
-            tile_v=both(self.tile_v, other.tile_v, "vertex"),
-            tile_f=both(self.tile_f, other.tile_f, "facet"),
+            tile_v=both(self.tile_v, other.tile_v, "vertex", bsk_v),
+            tile_f=both(self.tile_f, other.tile_f, "facet", bsk_f),
+            bsk_v=bsk_v, bsk_f=bsk_f,
         )
 
 
@@ -278,21 +288,29 @@ def widths_for(
     fv_r = structs.round_up(
         int(np.bincount(fv_indices.reshape(-1), minlength=bv.n_nodes).max()), g
     )
-    tile_v = tile_f = (0, 0, 0)
+    tile_v = tile_f = bsk_v = bsk_f = (0, 0, 0)
     if with_bands:
-        from geobignn_tpu.ops import banded
+        from geobignn_tpu.ops import banded, blocksparse
 
         def tiles(b: RawBranch):
             s1, s2 = b.specs
+            eis = (b.edge_index, s1.edge_index, s2.edge_index)
             picked = tuple(
-                banded.pick_tile(banded.bandwidth_of(ei))
-                for ei in (b.edge_index, s1.edge_index, s2.edge_index)
+                banded.pick_tile(banded.bandwidth_of(ei)) for ei in eis
             )
-            # 0 = level stays on the dense-table path (band too wide)
-            return tuple(t if t <= banded.MAX_BAND_TILE else 0 for t in picked)
+            # 0 = band too wide for the contiguous kernel; the block-sparse
+            # K below covers those levels (and band-merge drops)
+            t = tuple(x if x <= banded.MAX_BAND_TILE else 0 for x in picked)
+            ns = (b.n_nodes, s1.n_out, s2.n_out)
+            bsk = tuple(
+                blocksparse.blocks_needed(ei, n + 1, blocksparse.BS_TILE)
+                for ei, n in zip(eis, ns)
+            )
+            return t, bsk
 
-        tile_v, tile_f = tiles(bv), tiles(bf)
-    return TableWidths(k_v, k_f, mem_v, mem_f, up_v, up_f, fv_r, tile_v, tile_f)
+        (tile_v, bsk_v), (tile_f, bsk_f) = tiles(bv), tiles(bf)
+    return TableWidths(k_v, k_f, mem_v, mem_f, up_v, up_f, fv_r,
+                       tile_v, tile_f, bsk_v, bsk_f)
 
 
 def attach_tables(
@@ -371,29 +389,58 @@ def attach_tables(
         sample.f, w.k_f if w else None, w.mem_f if w else None,
         w.up_f if w else None,
     )
-    if w is not None and (any(w.tile_v) or any(w.tile_f)):
-        new_v = attach_band(new_v, w.tile_v)
-        new_f = attach_band(new_f, w.tile_f)
+    if w is not None and (
+        any(w.tile_v) or any(w.tile_f) or any(w.bsk_v) or any(w.bsk_f)
+    ):
+        new_v = attach_band(new_v, w.tile_v, w.bsk_v)
+        new_f = attach_band(new_f, w.tile_f, w.bsk_f)
     return sample.replace(v=new_v, f=new_f, fv_rev=fv_rev)
 
 
-def attach_band(branch: structs.BranchGraph, tiles: tuple) -> structs.BranchGraph:
-    """Attach per-level band masks (ops/banded.py) to an RCM-ordered
+def attach_band(
+    branch: structs.BranchGraph, tiles: tuple, bsks: tuple = (0, 0, 0)
+) -> structs.BranchGraph:
+    """Attach per-level gather-free conv structures to an RCM-ordered
     branch (all three U-Net levels are reordered: the mesh at build time,
-    the coarse graphs in pool/hierarchy.py).  Safe after union_batch:
-    components occupy contiguous id ranges, so per-component bandwidth is
-    preserved and cross-component window slots are simply absent."""
-    from geobignn_tpu.ops import banded
+    the coarse graphs in pool/hierarchy.py).  Per level, the cheaper of two
+    formulations (by window width = per-node MXU work):
+
+      * contiguous band mask (ops/banded.py), window 3*tile — needs
+        bandwidth <= tile <= MAX_BAND_TILE;
+      * block-sparse windows (ops/blocksparse.py), window K*BS_TILE — no
+        bandwidth limit; K tracks the LOCAL neighbor span, so this is what
+        keeps >300k-face meshes on the MXU path.
+
+    Safe after union_batch: components occupy contiguous id ranges, so
+    per-component bandwidth is preserved and cross-component window slots
+    are simply absent (block straddling only costs a slightly larger K,
+    which is recomputed from the final padded edges here)."""
+    from geobignn_tpu.ops import banded, blocksparse
 
     levels = []
-    for lvl, tile in zip(branch.levels, tiles):
-        if not tile:  # band wider than MAX_BAND_TILE: stay on the table path
-            levels.append(lvl)
-            continue
+    for lvl, tile, bsk in zip(branch.levels, tiles, bsks):
         n = np.asarray(lvl.node_mask).shape[0]
-        n_band = structs.round_up(n, tile)
-        mask = banded.band_mask_np(np.asarray(lvl.edge_index), n_band, tile)
-        levels.append(lvl.replace(band=mask))
+        ei = np.asarray(lvl.edge_index)
+        use_bs = bsk and (
+            not tile or bsk * blocksparse.BS_TILE < 3 * tile
+        )
+        if use_bs:
+            n_band = structs.round_up(n, blocksparse.BS_TILE)
+            needed = blocksparse.blocks_needed(ei, n_band, blocksparse.BS_TILE)
+            if needed > bsk:  # union-batch block straddling can exceed the
+                # per-sample merge; widening K here changes the compiled
+                # shape for THIS batch only
+                print(f"note: block-sparse K widened {bsk} -> {needed}")
+            blk_idx, mask, _ = blocksparse.block_sparse_np(
+                ei, n_band, blocksparse.BS_TILE, k_pad=max(bsk, needed)
+            )
+            levels.append(lvl.replace(band=mask, blk_idx=blk_idx))
+        elif tile:
+            n_band = structs.round_up(n, tile)
+            mask = banded.band_mask_np(ei, n_band, tile)
+            levels.append(lvl.replace(band=mask))
+        else:  # neither available: dense-table path
+            levels.append(lvl)
     return branch.replace(levels=tuple(levels))
 
 

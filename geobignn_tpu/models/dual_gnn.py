@@ -61,18 +61,27 @@ class FeaStConv(nn.Module):
 
         def conv(p_, x_):
             if level.band is not None and self.gp_axis is None:
-                # banded block-dense path (ops/banded_pallas.py): gather-free
-                # Pallas kernels with a custom VJP; no remat needed — the
-                # kernels recompute their (T, W) intermediates in-backward
-                from geobignn_tpu.ops import banded_pallas
-
+                # gather-free Pallas paths with custom VJPs; no remat needed
+                # — the kernels recompute their (T, W) intermediates
+                # in-backward.  blk_idx set -> block-sparse windows
+                # (ops/blocksparse.py, no bandwidth limit); else contiguous
+                # band (ops/banded_pallas.py)
                 n1 = x_.shape[0]
                 n_band = level.band.shape[0] * level.band.shape[1]
                 xp = jnp.pad(x_, ((0, n_band - n1), (0, 0)))
                 dp = jnp.pad(level.deg.astype(jnp.float32), (0, n_band - n1))
-                out = banded_pallas.feast_conv_banded_pallas(
-                    p_, xp, level.band, dp
-                )[:n1].astype(x_.dtype)
+                if level.blk_idx is not None:
+                    from geobignn_tpu.ops import blocksparse
+
+                    out = blocksparse.feast_conv_blocksparse(
+                        p_, xp, level.band, level.blk_idx, dp
+                    )[:n1].astype(x_.dtype)
+                else:
+                    from geobignn_tpu.ops import banded_pallas
+
+                    out = banded_pallas.feast_conv_banded_pallas(
+                        p_, xp, level.band, dp
+                    )[:n1].astype(x_.dtype)
             elif level.nbr is not None and self.gp_axis is None:
                 # scatter-free dense-table fast path (ops/table.py)
                 out = feast_conv_table(

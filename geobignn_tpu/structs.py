@@ -82,8 +82,11 @@ class GraphLevel(struct.PyTreeNode):
     nbr: jax.Array | None = None  # (N_pad, K) int32 neighbor table
     kmask: jax.Array | None = None  # (N_pad, K) f32
     rev: jax.Array | None = None  # (N_pad, R) int32 reverse table
-    band: jax.Array | None = None  # (B, T, 3T) int8 band mask for the
-    # gather-free banded FeaStConv (ops/banded*.py; needs RCM node order)
+    band: jax.Array | None = None  # (B, T, W) int8 window mask for the
+    # gather-free banded/block-sparse FeaStConv (ops/banded*.py W=3T, or
+    # ops/blocksparse.py W=K*T when blk_idx is set; needs RCM node order)
+    blk_idx: jax.Array | None = None  # (B, K) int32 column-block ids for
+    # the block-sparse formulation (None = contiguous 3T band)
 
 
 class PoolStep(struct.PyTreeNode):

@@ -17,6 +17,11 @@ from geobignn_tpu.data.builder import (
 )
 from geobignn_tpu.models import DualGNN
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 
 def _sample(reorder: bool, bands: bool, seed=0):
     m_o = synth.icosphere(2)

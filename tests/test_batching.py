@@ -7,6 +7,9 @@ from geobignn_tpu.data.batching import union_batch
 from geobignn_tpu.data.builder import BuildConfig, build_dual_sample, build_raw, plan_for
 from geobignn_tpu.models import DualGNN
 
+pytestmark = pytest.mark.slow
+
+
 
 def test_union_batch_matches_per_sample_forward():
     cfg = BuildConfig(granularity=64)

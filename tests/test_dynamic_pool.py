@@ -10,6 +10,9 @@ from geobignn_tpu.ops.coalesce import coalesce_edges
 from geobignn_tpu.ops.matching import parallel_matching, pool_edges_with_rep
 from geobignn_tpu.pool.dynamic import DualGNNDynamic
 
+pytestmark = pytest.mark.slow
+
+
 
 def test_coalesce_edges_static_shape():
     # duplicates (0,1)x2 + self loop (2,2) + trash padding (4,4)

@@ -12,6 +12,11 @@ from geobignn_tpu.data.builder import build_dual_sample
 from geobignn_tpu.infer.predict import Predictor
 from geobignn_tpu.models import DualGNN
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 
 def test_halo_predict_matches_single_device():
     m_o = synth.icosphere(2)

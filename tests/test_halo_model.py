@@ -15,6 +15,9 @@ from geobignn_tpu.parallel import partition as hp
 from geobignn_tpu.parallel.api import make_mesh
 from geobignn_tpu.pool.hierarchy import build_hierarchy
 
+pytestmark = pytest.mark.slow
+
+
 
 def test_halo_unet_matches_single_device():
     n_parts = 4

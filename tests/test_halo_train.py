@@ -17,6 +17,11 @@ from geobignn_tpu.models import DualGNN
 from geobignn_tpu.parallel import halo_train as ht
 from geobignn_tpu.parallel.api import make_mesh
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 
 def _single_device_sample(m_n, m_o, cfg, hs, seed=1):
     """Pad a single-device DualSample over the same hierarchies the halo

@@ -10,6 +10,9 @@ from geobignn_tpu.data.dataset import InMemoryDataset
 from geobignn_tpu.infer.predict import Predictor, update_positions
 from geobignn_tpu.train import Trainer
 
+pytestmark = pytest.mark.slow
+
+
 
 def test_update_positions_oracle():
     """The reference's own oracle (code/data_util.py:973): integrating the

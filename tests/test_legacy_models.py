@@ -15,6 +15,9 @@ from geobignn_tpu.models.legacy import (
 from geobignn_tpu.ops.gat import GATParams, gat_conv, segment_softmax
 from geobignn_tpu.ops.gcn import GCNParams, gcn_conv
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def sample():

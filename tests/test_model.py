@@ -55,6 +55,7 @@ def test_forward_shapes_and_finite(model_out):
     )
 
 
+@pytest.mark.slow
 def test_padding_invariance(model_out):
     """Same mesh padded to a bigger plan must give identical valid outputs."""
     sample, plan, model, params, vert_p, norm_p = model_out
@@ -113,6 +114,7 @@ def test_cross_domain_gradients(model_out):
         assert bool(jnp.isfinite(leaf).all())
 
 
+@pytest.mark.slow
 def test_force_depth_head():
     m_o = synth.icosphere(2)
     m_n = synth.add_noise(m_o, 0.15, seed=1)

@@ -10,6 +10,9 @@ from geobignn_tpu.data.builder import BuildConfig, build_dual_sample, build_raw,
 from geobignn_tpu.models import DualGNN
 from geobignn_tpu.parallel.api import dual_loss_and_metrics
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def batch():

@@ -15,6 +15,9 @@ from geobignn_tpu.data.dataset import InMemoryDataset
 from geobignn_tpu.data.prefetch import prefetch_iter
 from geobignn_tpu.train.trainer import Trainer
 
+pytestmark = pytest.mark.slow
+
+
 
 def test_prefetch_order_and_overlap():
     seen_threads = set()

@@ -32,6 +32,7 @@ def test_set_lr_with_weight_decay():
     tx.update(g, state, params)
 
 
+@pytest.mark.slow
 def test_weight_decay_training_step():
     ds = _tiny_ds()
     cfg = Config(max_epoch=1, weight_decay=1e-4, seed=1, granularity=64)
@@ -57,6 +58,7 @@ def test_tiny_mesh_builds():
     assert bool(np.isfinite(np.asarray(v)).all())
 
 
+@pytest.mark.slow
 def test_sided_loss_trains():
     ds = _tiny_ds()
     cfg = Config(max_epoch=1, loss_n="sided", seed=1, granularity=64)
@@ -80,6 +82,7 @@ def test_cli_rejects_unknown_key():
     assert d["lr_decay"] == 0.5
 
 
+@pytest.mark.slow
 def test_plateau_state_checkpointed(tmp_path):
     ds = _tiny_ds()
     cfg = Config(max_epoch=2, lr_sch="auto", lr=1e-3, lr_decay=0.1,
@@ -119,6 +122,7 @@ def test_tablewidths_merge_logs_band_drop(capsys):
     assert "dropped" not in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_evaluate_empty_masks_no_nan(capsys):
     """All-padded eval samples must not produce inf/NaN in the plateau key."""
     import jax

@@ -130,6 +130,7 @@ def test_feast_conv_table_grads_match_coo():
 # whole-model parity (forward + gradients), single sample and union batch
 # --------------------------------------------------------------------------
 
+@pytest.mark.slow
 @pytest.mark.parametrize("batch", [1, 3])
 def test_dual_gnn_table_path_matches_coo(batch):
     samples = [_sample(seed=i)[0] for i in range(batch)]

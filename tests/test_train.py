@@ -11,6 +11,9 @@ from geobignn_tpu.data.dataset import DualDataset, InMemoryDataset
 from geobignn_tpu.train import Trainer, lr_at_epoch
 from geobignn_tpu.train.optim import PlateauState
 
+pytestmark = pytest.mark.slow
+
+
 
 def _mini_corpus(tmp_path, n_train=2, n_noise=2):
     """Write a tiny Synthetic-style corpus to disk."""
