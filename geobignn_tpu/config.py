@@ -71,6 +71,11 @@ class Config:
     dp: int = 1
     gp: int = 1
     dcn: int = 1  # cross-host data-parallel replicas (multi-host pods)
+    halo_parts: int = 0  # >1: halo-sharded whole-mesh TRAINING — each mesh
+    # node-partitioned over `halo_parts` chips with per-conv boundary
+    # exchange (train/halo_trainer.py); mutually exclusive with dp/gp/dcn
+    halo_banded: bool = False  # halo convs through the banded Pallas
+    # kernels (per-partition RCM slot order)
     auto_resume: bool = False  # continue the latest run of this
     # data_type/flag from its ckpt_last (fault-tolerant restart: rerun the
     # same command after preemption and training resumes exactly)

@@ -221,6 +221,35 @@ def process_one_mesh(
     return results
 
 
+def discover_mesh_pairs(
+    root_dir: str, data_type: str, split: str,
+    data_list_txt: str | None = None,
+) -> list[tuple[str, str]]:
+    """(noisy_path, original_path) pairs of a split: `{name}_n*.obj` glob
+    under noisy/ against original/{name}.obj, filtered by the split list
+    when given (reference discovery, code/dataset.py:83-103)."""
+    data_dir = os.path.join(root_dir, data_type, split)
+    noisy_dir = os.path.join(data_dir, "noisy")
+    orig_dir = os.path.join(data_dir, "original")
+    if data_list_txt is not None and os.path.exists(
+        os.path.join(root_dir, data_type, data_list_txt)
+    ):
+        with open(os.path.join(root_dir, data_type, data_list_txt)) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+    else:
+        names = sorted(
+            os.path.splitext(os.path.basename(p))[0]
+            for p in glob.glob(os.path.join(orig_dir, "*.obj"))
+        )
+    pairs: list[tuple[str, str]] = []
+    for name in names:
+        for np_file in sorted(
+            glob.glob(os.path.join(noisy_dir, f"{name}_n*.obj"))
+        ):
+            pairs.append((np_file, os.path.join(orig_dir, f"{name}.obj")))
+    return pairs
+
+
 class BaseDualDataset:
     """Entries + shared SizePlan/TableWidths + padding-on-get (common
     machinery).  `get` attaches the dense neighbor tables (ops/table.py)
@@ -349,22 +378,7 @@ class DualDataset(BaseDualDataset):
     ):
         self.build_cfg = build_cfg
         self.data_dir = os.path.join(root_dir, data_type, split)
-        noisy_dir = os.path.join(self.data_dir, "noisy")
-        orig_dir = os.path.join(self.data_dir, "original")
-
-        if data_list_txt is not None:
-            with open(os.path.join(root_dir, data_type, data_list_txt)) as f:
-                names = [ln.strip() for ln in f if ln.strip()]
-        else:
-            names = sorted(
-                os.path.splitext(os.path.basename(p))[0]
-                for p in glob.glob(os.path.join(orig_dir, "*.obj"))
-            )
-
-        self.pairs: list[tuple[str, str]] = []
-        for name in names:
-            for np_file in sorted(glob.glob(os.path.join(noisy_dir, f"{name}_n*.obj"))):
-                self.pairs.append((np_file, os.path.join(orig_dir, f"{name}.obj")))
+        self.pairs = discover_mesh_pairs(root_dir, data_type, split, data_list_txt)
 
         cache_dir = os.path.join(self.data_dir, "processed_cache") if cache else None
         self.entries = []

@@ -390,6 +390,68 @@ class Trainer:
         self._restored_plateau = scalars.get("plateau")
 
 
+def _train_halo(cfg: Config, dataset_root: str | None = None) -> str:
+    """Halo-mode training entry: whole meshes (no submesh split), each
+    node-partitioned over cfg.halo_parts chips.  Same run-dir artifacts,
+    logging, auto-resume, and chained-inference surface as the standard
+    path."""
+    import sys
+
+    from geobignn_tpu.data.dataset import discover_mesh_pairs
+    from geobignn_tpu.meshio import read_obj
+    from geobignn_tpu.train.halo_trainer import HaloTrainer
+
+    resume_dir = find_resumable_run(cfg) if cfg.auto_resume else None
+    run_dir = resume_dir or make_run_dir(cfg)
+    sys.stdout = Tee(os.path.join(run_dir, "training_info.txt"))
+    print(
+        f"Halo training ({cfg.halo_parts} parts) flag: {cfg.flag} "
+        f"seed: {cfg.seed}\nrun_dir: {run_dir}"
+    )
+    cfg.to_json(os.path.join(run_dir, "params.json"))
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shutil.copytree(
+        pkg_dir, os.path.join(run_dir, "code_bak", "geobignn_tpu"),
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
+        dirs_exist_ok=True,
+    )
+
+    root = dataset_root or cfg.dataset_dir
+    pairs = [
+        (read_obj(n), read_obj(o))
+        for n, o in discover_mesh_pairs(root, cfg.data_type, "train",
+                                        "train_list.txt")
+    ]
+    eval_pairs = [
+        (read_obj(n), read_obj(o))
+        for n, o in discover_mesh_pairs(root, cfg.data_type, "test",
+                                        "test_list.txt")
+    ]
+    print(f"Training meshes: {len(pairs)}; eval: {len(eval_pairs)}")
+
+    trainer = HaloTrainer(cfg, pairs, eval_pairs, run_dir)
+    if resume_dir is not None:
+        trainer.restore(os.path.join(resume_dir, "ckpt_last.pkl"))
+        print(f"auto-resume: continuing {resume_dir} at epoch {trainer.epoch}")
+    elif cfg.restore and cfg.model_path:
+        trainer.restore(cfg.model_path)
+    logger = MetricLogger(os.path.join(run_dir, "metrics.jsonl"))
+
+    def report(tr, train_m, eval_m):
+        m = eval_m or train_m
+        if tr.epoch % 10 == 0 or m["error_f"] <= tr.best_error:
+            print(
+                f"Epoch {tr.epoch:>3}: loss {m['loss_v']:.4f} "
+                f"{m['loss_f']:.4f} | error {m['error_v']:.4f} "
+                f"{m['error_f']:.4f}"
+            )
+
+    best = trainer.fit(logger, report)
+    print(f"best error: {best}")
+    logger.close()
+    return run_dir
+
+
 def make_run_dir(cfg: Config) -> str:
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
     run_dir = os.path.join(
@@ -413,7 +475,10 @@ def find_resumable_run(cfg: Config) -> str | None:
 
 
 def train(cfg: Config, dataset_root: str | None = None) -> str:
-    """Full training entry: datasets from disk, run-dir artifacts, fit."""
+    """Full training entry: datasets from disk, run-dir artifacts, fit.
+    All parallel modes route through here (reference entry parity,
+    code/train_dual.py:100): dp/gp/dcn replicated-node SPMD via Trainer,
+    halo_parts > 1 whole-mesh node sharding via HaloTrainer."""
     import sys
 
     from geobignn_tpu.data.dataset import DualDataset
@@ -422,6 +487,11 @@ def train(cfg: Config, dataset_root: str | None = None) -> str:
         cfg.seed = random.randint(1, 10000)
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
+
+    if cfg.halo_parts and cfg.halo_parts > 1:
+        if cfg.dp * cfg.gp * cfg.dcn > 1:
+            raise ValueError("halo_parts is exclusive with dp/gp/dcn")
+        return _train_halo(cfg, dataset_root)
 
     resume_dir = find_resumable_run(cfg) if cfg.auto_resume else None
     run_dir = resume_dir or make_run_dir(cfg)
