@@ -52,15 +52,29 @@ def match_gt_normals_2ring(
     ptr = np.zeros(n_f + 1, dtype=np.int64)
     np.cumsum(np.bincount(rows, minlength=n_f), out=ptr[1:])
 
+    # vectorized 2-ring argmin: candidate pairs are (i, i), the 1-ring
+    # edges (i, j), and their expansion (i, k) for k in N(j) — duplicates
+    # are harmless under argmin.  One lexsort replaces the per-face loop
+    # (scale-hostile at >100k faces).
+    deg = ptr[1:] - ptr[:-1]
+    d_c = deg[cols]
+    i2 = np.repeat(rows, d_c)
+    starts = np.repeat(ptr[cols], d_c)
+    offs = np.arange(int(d_c.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(d_c) - d_c, d_c
+    )
+    k2 = cols[starts + offs]
+    self_idx = np.arange(n_f, dtype=np.int64)
+    cand_i = np.concatenate([self_idx, rows, i2])
+    cand_k = np.concatenate([self_idx, cols, k2])
+
+    dist = ((gt_normals[cand_k] - filtered_normals[cand_i]) ** 2).sum(1)
+    order = np.lexsort((dist, cand_i))
+    i_sorted = cand_i[order]
+    first = np.ones(i_sorted.size, bool)
+    first[1:] = i_sorted[1:] != i_sorted[:-1]
     best = filtered_normals.copy()
-    for i in range(n_f):
-        ring1 = cols[ptr[i] : ptr[i + 1]]
-        ring2 = np.unique(
-            np.concatenate([ring1] + [cols[ptr[j] : ptr[j + 1]] for j in ring1])
-        )
-        cand = gt_normals[np.concatenate([[i], ring2])]
-        err = ((cand - filtered_normals[i]) ** 2).sum(1)
-        best[i] = cand[np.argmin(err)]
+    best[i_sorted[first]] = gt_normals[cand_k[order][first]]
     return best
 
 

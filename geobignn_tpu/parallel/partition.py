@@ -41,28 +41,46 @@ def partition_nodes(
 
     owner = np.full(n, -1, dtype=np.int32)
     counts = np.zeros(n_parts, dtype=np.int64)
-    frontiers: list[list[int]] = [[] for _ in range(n_parts)]
+    frontiers: list[np.ndarray] = [None] * n_parts
     for p in range(n_parts):
         free = np.where(owner < 0)[0]
         s = int(free[rng.integers(free.size)])
         owner[s] = p
         counts[p] = 1
-        frontiers[p] = [s]
+        frontiers[p] = np.asarray([s], dtype=np.int64)
+
+    def neighbors_of(front: np.ndarray) -> np.ndarray:
+        """Concatenated CSR neighbor lists of a frontier, in CSR order
+        (vectorized repeat/arange — no per-node Python loop)."""
+        degs = ptr[front + 1] - ptr[front]
+        total = int(degs.sum())
+        if total == 0:
+            return np.empty(0, np.int64)
+        starts_e = np.repeat(ptr[front], degs)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(degs) - degs, degs
+        )
+        return cols[starts_e + offs]
+
     active = True
     while active:
         active = False
         for p in range(n_parts):
-            if counts[p] >= cap or not frontiers[p]:
+            front = frontiers[p]
+            if counts[p] >= cap or front.size == 0:
                 continue
-            nxt = []
-            for u in frontiers[p]:
-                for v in cols[ptr[u] : ptr[u + 1]]:
-                    if owner[v] < 0 and counts[p] < cap:
-                        owner[v] = p
-                        counts[p] += 1
-                        nxt.append(int(v))
-            frontiers[p] = nxt
-            active = active or bool(nxt)
+            nbr = neighbors_of(front)
+            cand = nbr[owner[nbr] < 0]
+            # first occurrence in CSR order (matches the sequential visit
+            # order of the original loop), capped at the remaining room
+            uniq, first = np.unique(cand, return_index=True)
+            taken = uniq[np.argsort(first, kind="stable")]
+            room = int(cap - counts[p])
+            taken = taken[:room]
+            owner[taken] = p
+            counts[p] += taken.size
+            frontiers[p] = taken
+            active = active or taken.size > 0
     # orphans (disconnected): assign to the emptiest parts
     for v in np.where(owner < 0)[0]:
         p = int(np.argmin(counts))
@@ -127,49 +145,51 @@ def build_halo_sharding(
     gather_x[owner[order_n], ranks] = order_n
 
     row, col = edge_index[0].astype(np.int64), edge_index[1].astype(np.int64)
-    # halo sets: for each (dst chip p, src chip q != p): globals of q used by p
-    halo: list[list[np.ndarray]] = [[None] * p_cnt for _ in range(p_cnt)]
-    h_max = 1
-    for p in range(p_cnt):
-        mask_p = owner[row] == p
-        for q in range(p_cnt):
-            if q == p:
-                halo[p][q] = np.empty(0, dtype=np.int64)
-                continue
-            remote = np.unique(col[mask_p & (owner[col] == q)])
-            halo[p][q] = remote
-            h_max = max(h_max, remote.size)
+    orow = owner[row].astype(np.int64)
+    ocol = owner[col].astype(np.int64)
+
+    # halo sets, vectorized: one sort of the cross edges by (dst chip p,
+    # src chip q, global col), then per-(p, q) segment dedup — O(E log E)
+    # total instead of P^2 full-edge mask passes and per-node dict fills
+    cross = orow != ocol
+    ckey = (orow[cross] * p_cnt + ocol[cross]) * (n + 1) + col[cross]
+    uniq = np.unique(ckey)  # sorted: (p, q)-major, col-minor
+    u_pq = uniq // (n + 1)
+    u_col = uniq % (n + 1)
+    seg_counts = np.bincount(u_pq, minlength=p_cnt * p_cnt)
+    h_max = max(1, int(seg_counts.max()) if uniq.size else 1)
     h_pad = round_up(h_max, granularity)
+    seg_starts = np.zeros(p_cnt * p_cnt, np.int64)
+    np.cumsum(seg_counts[:-1], out=seg_starts[1:])
+    u_rank = np.arange(uniq.size, dtype=np.int64) - seg_starts[u_pq]
 
-    # send_idx[q, p]: local slots (in q) of halo[p][q], padded with local trash
+    # send_idx[q, p]: local slots (in q) of the nodes p needs from q
     send_idx = np.full((p_cnt, p_cnt, h_pad), trash_loc, dtype=np.int32)
-    # halo position lookup: for dst p, node g owned by q -> halo buffer offset
-    halo_pos: list[dict] = [dict() for _ in range(p_cnt)]
-    for p in range(p_cnt):
-        for q in range(p_cnt):
-            nodes = halo[p][q]
-            if nodes.size:
-                send_idx[q, p, : nodes.size] = slot_of[nodes]
-                base = n_loc + q * h_pad
-                for k, g in enumerate(nodes):
-                    halo_pos[p][int(g)] = base + k
+    u_p, u_q = u_pq // p_cnt, u_pq % p_cnt
+    send_idx[u_q, u_p, u_rank] = slot_of[u_col]
 
-    # local edge lists
-    e_max = 1
+    # ext-space column lookup per dst chip: global node -> halo buffer slot
+    # (n_loc + q*h_pad + rank); own nodes resolve via slot_of below
+    halo_slot = np.full((p_cnt, n), trash_loc, dtype=np.int32)
+    halo_slot[u_p, u_col] = n_loc + u_q * h_pad + u_rank
+
+    # local edge lists: slice the row-owner-sorted edges per chip
+    e_order = np.argsort(orow, kind="stable")
+    e_counts = np.bincount(orow, minlength=p_cnt)
+    e_max = max(1, int(e_counts.max()))
+    e_loc = round_up(e_max, granularity)
+    e_starts = np.zeros(p_cnt + 1, np.int64)
+    np.cumsum(e_counts, out=e_starts[1:])
     per_part_edges = []
     for p in range(p_cnt):
-        sel = owner[row] == p
+        sel = e_order[e_starts[p] : e_starts[p + 1]]
         r = slot_of[row[sel]]
         c_glob = col[sel]
         c = np.where(
-            owner[c_glob] == p,
-            slot_of[c_glob],
-            [halo_pos[p].get(int(g), trash_loc) for g in c_glob],
+            ocol[sel] == p, slot_of[c_glob], halo_slot[p, c_glob]
         ).astype(np.int64)
         w = None if edge_weight is None else edge_weight[sel]
         per_part_edges.append((r, c, w))
-        e_max = max(e_max, r.size)
-    e_loc = round_up(e_max, granularity)
 
     ext_trash = n_loc - 1  # local trash slot (features zero)
     ei = np.full((p_cnt, 2, e_loc), ext_trash, dtype=np.int32)
@@ -360,11 +380,8 @@ def shard_features(x: np.ndarray, sh: HaloSharding) -> np.ndarray:
 
 
 def unshard_features(x_loc: np.ndarray, sh: HaloSharding, n: int) -> np.ndarray:
-    """(P, n_loc, C) -> (N, C) global order."""
-    out = np.empty((n, x_loc.shape[-1]), x_loc.dtype)
-    for v in range(n):
-        out[v] = x_loc[sh.owner[v], sh.slot_of[v]]
-    return out
+    """(P, n_loc, C) -> (N, C) global order (one fancy-index gather)."""
+    return np.asarray(x_loc)[sh.owner[:n], sh.slot_of[:n]]
 
 
 # --------------------------------------------------------------------------
