@@ -38,6 +38,12 @@ class Config:
     edge_weight_type: int = 10
     pool_type: str = "max"
     heads: int = 9
+    dynamic_pool: bool = False  # in-forward pooling (pool/dynamic.py):
+    # exact reference parity for activation-dependent edge-weight types;
+    # auto-enabled for the learned types 3-5, which static hierarchies
+    # cannot represent (their affinities need live activations + learnable
+    # attention params).  Single-chip only; costs ~4x/16x coarse-level
+    # lane work (padded sizes cannot shrink in-graph).
 
     # optimization
     max_epoch: int = 1000

@@ -66,6 +66,14 @@ def rcm_order(edge_index: np.ndarray, n: int) -> np.ndarray:
     return np.asarray(reverse_cuthill_mckee(g, symmetric_mode=True), np.int64)
 
 
+# Ordering note (measured, icosphere 327k faces): a hierarchical
+# partition-then-per-part-RCM ordering was tried to shrink block-sparse
+# windows and made them dramatically WORSE (max col-blocks per row block
+# 195 vs 12 at T=256): each part's RCM ranks its seam nodes arbitrarily,
+# so cross-part edges scatter across the neighbor part's whole slot range.
+# Plain whole-graph RCM already clusters every row block's neighbors into
+# a few contiguous runs (prev ring / own ring / next ring); the
+# block-sparse builders exploit exactly that.
 def bandwidth_of(edge_index: np.ndarray) -> int:
     row, col = edge_index[0].astype(np.int64), edge_index[1].astype(np.int64)
     real = row != col

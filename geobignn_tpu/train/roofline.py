@@ -46,9 +46,10 @@ PEAK_FLOPS = {
 def chip_peak_flops(device=None) -> float:
     d = device or jax.devices()[0]
     kind = getattr(d, "device_kind", "")
-    for k, v in PEAK_FLOPS.items():
+    # longest-prefix match: "TPU v5 lite" must not resolve to "TPU v5"
+    for k in sorted(PEAK_FLOPS, key=len, reverse=True):
         if kind.startswith(k):
-            return v
+            return PEAK_FLOPS[k]
     return 197e12  # default: v5e-class
 
 
