@@ -96,6 +96,51 @@ class Config:
         if isinstance(self.lr_step, list):
             self.lr_step = tuple(self.lr_step)
 
+    def validate(self) -> "Config":
+        """Fail FAST on contradictory mode combinations (the interactions
+        used to fail late and far from the misconfiguration):
+
+          * bucketed streaming needs preload=False and is single-chip;
+          * halo training is exclusive with dp/gp/dcn and dynamic pooling;
+          * dynamic pooling is single-chip;
+          * precision / lr_sch / optimizer names are checked up front.
+        """
+        n_chips = self.dcn * self.dp * self.gp
+        if self.buckets_growth > 1.0:
+            if self.preload:
+                raise ValueError(
+                    "buckets_growth > 1 (bucketed SizePlans) requires "
+                    "preload=False — per-bucket plans cannot be stacked "
+                    "into one device-resident dataset"
+                )
+            if n_chips > 1:
+                raise ValueError(
+                    "buckets_growth > 1 is single-chip only (the sharded "
+                    "step compiles one global batch shape)"
+                )
+        if self.halo_parts and self.halo_parts > 1:
+            if n_chips > 1:
+                raise ValueError("halo_parts is exclusive with dp/gp/dcn")
+            if self.dynamic_pool or self.edge_weight_type in (3, 4, 5):
+                raise ValueError(
+                    "halo training uses precomputed owner-constrained "
+                    "hierarchies; dynamic pooling (edge_weight_type 3-5) "
+                    "is not available there"
+                )
+        if (self.dynamic_pool or self.edge_weight_type in (3, 4, 5)) and n_chips > 1:
+            raise ValueError(
+                "dynamic pooling is single-chip only (dp/gp/dcn must be 1)"
+            )
+        if self.precision not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown precision '{self.precision}'")
+        if self.lr_sch not in ("lmd", "step", "multi_step", "exp", "auto"):
+            raise ValueError(f"unknown lr_sch '{self.lr_sch}'")
+        if self.optimizer not in ("adam", "sgd", "rmsprop"):
+            raise ValueError(f"unknown optimizer '{self.optimizer}'")
+        if self.pool_type not in ("max", "mean"):
+            raise ValueError(f"unknown pool_type '{self.pool_type}'")
+        return self
+
     # ------------------------------------------------------------------
     def build_config(self) -> BuildConfig:
         return BuildConfig(

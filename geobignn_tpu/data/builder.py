@@ -421,9 +421,11 @@ def attach_band(
     for lvl, tile, bsk in zip(branch.levels, tiles, bsks):
         n = np.asarray(lvl.node_mask).shape[0]
         ei = np.asarray(lvl.edge_index)
-        use_bs = bsk and (
-            not tile or bsk * blocksparse.BS_TILE < 3 * tile
-        )
+        # banded-first: where the contiguous band fits, it measured ~2x the
+        # block-sparse throughput at bench scale (one (T, 3T) matmul per
+        # block vs many per-col-block ops); block-sparse exists for levels
+        # the band CANNOT serve (bandwidth > MAX_BAND_TILE or merge-drops)
+        use_bs = bsk and not tile
         if use_bs:
             n_band = structs.round_up(n, blocksparse.BS_TILE)
             needed = blocksparse.blocks_needed(ei, n_band, blocksparse.BS_TILE)

@@ -169,6 +169,45 @@ def cylinder(n_seg: int = 48, n_height: int = 24, radius: float = 0.5, height: f
     return TriMesh(np.asarray(pts, np.float32), np.asarray(faces, np.int32))
 
 
+def ellipsoid(subdivisions: int = 4, radii=(1.0, 0.7, 0.85)) -> TriMesh:
+    """Anisotropically scaled icosphere — smooth surface with varying
+    curvature (campaign corpus: smooth class)."""
+    m = icosphere(subdivisions)
+    return TriMesh(
+        (m.points * np.asarray(radii, np.float32)).astype(np.float32),
+        m.fv_indices.copy(),
+    )
+
+
+def bumpy_sphere(
+    subdivisions: int = 4, n_bumps: int = 12, amp: float = 0.15, seed: int = 0
+) -> TriMesh:
+    """Icosphere with a smooth radial field of random spherical Gaussian
+    bumps — organic-looking surface with mixed curvature sign (campaign
+    corpus: smooth/organic class, analog of the CNR corpus' blobby shapes)."""
+    m = icosphere(subdivisions)
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(n_bumps, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    widths = rng.uniform(0.15, 0.45, n_bumps)
+    signs = rng.choice([-1.0, 1.0], n_bumps)
+    p = m.points / np.linalg.norm(m.points, axis=1, keepdims=True)
+    r = np.ones(len(p))
+    for d, w, s in zip(dirs, widths, signs):
+        ang = np.arccos(np.clip(p @ d, -1, 1))
+        r += s * amp * np.exp(-((ang / w) ** 2))
+    return TriMesh((p * r[:, None]).astype(np.float32), m.fv_indices.copy())
+
+
+def cuboid(n: int = 24, dims=(1.0, 0.6, 1.4)) -> TriMesh:
+    """Scaled cube — sharp-feature class with unequal face aspect."""
+    m = cube(n)
+    return TriMesh(
+        (m.points * np.asarray(dims, np.float32)).astype(np.float32),
+        m.fv_indices.copy(),
+    )
+
+
 def add_noise(
     mesh: TriMesh, sigma_ratio: float = 0.2, seed: int = 0
 ) -> TriMesh:

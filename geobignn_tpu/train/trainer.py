@@ -57,6 +57,7 @@ class Trainer:
     """Single-chip trainer (multi-chip training goes through parallel.api)."""
 
     def __init__(self, cfg: Config, train_ds, eval_ds=None, run_dir: str | None = None):
+        cfg.validate()
         self.cfg = cfg
         self.train_ds = train_ds
         self.eval_ds = eval_ds
@@ -504,9 +505,8 @@ def train(cfg: Config, dataset_root: str | None = None) -> str:
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
 
+    cfg.validate()
     if cfg.halo_parts and cfg.halo_parts > 1:
-        if cfg.dp * cfg.gp * cfg.dcn > 1:
-            raise ValueError("halo_parts is exclusive with dp/gp/dcn")
         return _train_halo(cfg, dataset_root)
 
     resume_dir = find_resumable_run(cfg) if cfg.auto_resume else None
