@@ -144,6 +144,9 @@ def main():
     ap.add_argument("--flag", default="campaign")
     args = ap.parse_args()
 
+    from geobignn_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     cfg = Config(
         data_type="SynthCampaign", flag=args.flag, seed=args.seed,
         max_epoch=args.epochs, lr=args.lr, lr_sch="lmd", lr_decay=0.98,

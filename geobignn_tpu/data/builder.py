@@ -402,14 +402,14 @@ def attach_band(
 ) -> structs.BranchGraph:
     """Attach per-level gather-free conv structures to an RCM-ordered
     branch (all three U-Net levels are reordered: the mesh at build time,
-    the coarse graphs in pool/hierarchy.py).  Per level, the cheaper of two
-    formulations (by window width = per-node MXU work):
+    the coarse graphs in pool/hierarchy.py).  Per level:
 
-      * contiguous band mask (ops/banded.py), window 3*tile — needs
-        bandwidth <= tile <= MAX_BAND_TILE;
-      * block-sparse windows (ops/blocksparse.py), window K*BS_TILE — no
-        bandwidth limit; K tracks the LOCAL neighbor span, so this is what
-        keeps >300k-face meshes on the MXU path.
+      * contiguous band mask (ops/banded.py), window 3*tile, whenever
+        bandwidth <= tile <= MAX_BAND_TILE — one (T, 3T) matmul per block,
+        the measured-fastest formulation;
+      * block-sparse windows (ops/blocksparse.py) otherwise — no bandwidth
+        limit; K tracks the LOCAL neighbor span, so this is what keeps
+        >300k-face meshes on the MXU path instead of dropping to tables.
 
     Safe after union_batch: components occupy contiguous id ranges, so
     per-component bandwidth is preserved and cross-component window slots

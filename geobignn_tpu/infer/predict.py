@@ -236,6 +236,9 @@ def predict_dir(
     halo_parts > 1 routes every mesh through the halo-sharded multi-chip
     path (Predictor.predict_mesh_halo) instead of submesh stitching;
     halo_banded selects its banded Pallas conv mode."""
+    from geobignn_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     pred = Predictor.from_run(run_dir, sub_size)
     cfg = pred.cfg
 

@@ -505,6 +505,9 @@ def train(cfg: Config, dataset_root: str | None = None) -> str:
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
 
+    from geobignn_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     cfg.validate()
     if cfg.halo_parts and cfg.halo_parts > 1:
         return _train_halo(cfg, dataset_root)

@@ -16,6 +16,27 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Pallas-kernel compiles dominate cold-start wall time on the tunneled
+    TPU (minutes per shape signature); every long-running entry (train,
+    predict_dir, bench, campaign) calls this so restarts and the driver's
+    bench run hit the disk cache."""
+    import os
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs: cold compiles only
+
+
 def batch_quat_to_rotmat(q: jax.Array, normalize: bool = True) -> jax.Array:
     """(B, 4) quaternions -> (B, 3, 3) rotation matrices."""
     s = 2.0 / (q * q).sum(-1) if normalize else jnp.full(q.shape[:1], 2.0)
