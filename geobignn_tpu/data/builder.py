@@ -433,12 +433,10 @@ def attach_band(
                 # per-sample merge; widening K here changes the compiled
                 # shape for THIS batch only
                 print(f"note: block-sparse K widened {bsk} -> {needed}")
-            blk_idx, blk_cnt, mask, _ = blocksparse.block_sparse_np(
+            blk_idx, mask, _ = blocksparse.block_sparse_np(
                 ei, n_band, blocksparse.BS_TILE, k_pad=max(bsk, needed)
             )
-            levels.append(
-                lvl.replace(band=mask, blk_idx=blk_idx, blk_cnt=blk_cnt)
-            )
+            levels.append(lvl.replace(band=mask, blk_idx=blk_idx))
         elif tile:
             n_band = structs.round_up(n, tile)
             mask = banded.band_mask_np(ei, n_band, tile)

@@ -74,7 +74,7 @@ class FeaStConv(nn.Module):
                     from geobignn_tpu.ops import blocksparse
 
                     out = blocksparse.feast_conv_blocksparse(
-                        p_, xp, level.band, level.blk_idx, level.blk_cnt, dp
+                        p_, xp, level.band, level.blk_idx, dp
                     )[:n1].astype(x_.dtype)
                 else:
                     from geobignn_tpu.ops import banded_pallas

@@ -87,8 +87,6 @@ class GraphLevel(struct.PyTreeNode):
     # ops/blocksparse.py W=K*T when blk_idx is set; needs RCM node order)
     blk_idx: jax.Array | None = None  # (B, K) int32 column-block ids for
     # the block-sparse formulation (None = contiguous 3T band)
-    blk_cnt: jax.Array | None = None  # (B,) int32 REAL column-block count
-    # per row block (the kernels skip padded blocks past it)
 
 
 class PoolStep(struct.PyTreeNode):

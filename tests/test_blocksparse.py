@@ -30,7 +30,7 @@ def _rcm_graph(subdiv=3, tile=64):
 
 def test_block_sparse_np_mask_matches_edges():
     ei, n, n_pad = _rcm_graph(tile=64)
-    blk_idx, blk_cnt, mask, k = blocksparse.block_sparse_np(ei, n_pad, 64)
+    blk_idx, mask, k = blocksparse.block_sparse_np(ei, n_pad, 64)
     assert mask.shape == (n_pad // 64, 64, k * 64)
     # every real edge appears exactly once in the mask
     assert mask.sum() == (ei[0] != ei[1]).sum()
@@ -46,8 +46,8 @@ def test_block_sparse_np_mask_matches_edges():
 
 def test_block_sparse_k_pad_and_overflow():
     ei, n, n_pad = _rcm_graph(tile=64)
-    _, _, _, k = blocksparse.block_sparse_np(ei, n_pad, 64)
-    blk_idx, blk_cnt, mask, _ = blocksparse.block_sparse_np(ei, n_pad, 64, k_pad=k + 2)
+    _, _, k = blocksparse.block_sparse_np(ei, n_pad, 64)
+    blk_idx, mask, _ = blocksparse.block_sparse_np(ei, n_pad, 64, k_pad=k + 2)
     assert blk_idx.shape[1] == k + 2 and mask.shape[2] == (k + 2) * 64
     with pytest.raises(ValueError, match="column blocks"):
         blocksparse.block_sparse_np(ei, n_pad, 64, k_pad=max(k - 1, 1))
@@ -58,7 +58,7 @@ def test_feast_conv_blocksparse_forward_parity():
     """Kernel (interpret mode on CPU) == sorted-COO feast_conv on valid rows."""
     tile = 64
     ei, n, n_pad = _rcm_graph(tile=tile)
-    blk_idx, blk_cnt, mask, _ = blocksparse.block_sparse_np(ei, n_pad, tile)
+    blk_idx, mask, _ = blocksparse.block_sparse_np(ei, n_pad, tile)
     rng = np.random.default_rng(0)
     c_in, c_out, heads = 6, 8, 5
     x = np.zeros((n_pad, c_in), np.float32)
@@ -70,7 +70,7 @@ def test_feast_conv_blocksparse_forward_parity():
     ref = feast_conv(params, jnp.asarray(x), jnp.asarray(ei), deg=jnp.asarray(deg))
     got = blocksparse.feast_conv_blocksparse(
         params, jnp.asarray(x), jnp.asarray(mask), jnp.asarray(blk_idx),
-        jnp.asarray(blk_cnt), jnp.asarray(deg), compute_dtype=jnp.float32,
+        jnp.asarray(deg), compute_dtype=jnp.float32,
     )
     np.testing.assert_allclose(
         np.asarray(got)[:n], np.asarray(ref)[:n], rtol=1e-5, atol=1e-5
@@ -80,7 +80,7 @@ def test_feast_conv_blocksparse_forward_parity():
 def test_feast_conv_blocksparse_gradient_parity():
     tile = 64
     ei, n, n_pad = _rcm_graph(subdiv=2, tile=tile)
-    blk_idx, blk_cnt, mask, _ = blocksparse.block_sparse_np(ei, n_pad, tile)
+    blk_idx, mask, _ = blocksparse.block_sparse_np(ei, n_pad, tile)
     rng = np.random.default_rng(1)
     c_in, c_out, heads = 4, 6, 3
     x = np.zeros((n_pad, c_in), np.float32)
@@ -97,8 +97,7 @@ def test_feast_conv_blocksparse_gradient_parity():
 
     def loss_bs(p, xx):
         out = blocksparse.feast_conv_blocksparse(
-            p, xx, jnp.asarray(mask), jnp.asarray(blk_idx),
-            jnp.asarray(blk_cnt), jnp.asarray(deg),
+            p, xx, jnp.asarray(mask), jnp.asarray(blk_idx), jnp.asarray(deg),
             compute_dtype=jnp.float32,
         )
         return ((out - tgt) ** 2 * msk).sum()
@@ -116,7 +115,7 @@ def test_xla_numerator_matches_kernel():
     """The pure-XLA twin (_xla_numerator) pins the kernel's numerator."""
     tile = 64
     ei, n, n_pad = _rcm_graph(subdiv=2, tile=tile)
-    blk_idx, blk_cnt, mask, _ = blocksparse.block_sparse_np(ei, n_pad, tile)
+    blk_idx, mask, _ = blocksparse.block_sparse_np(ei, n_pad, tile)
     rng = np.random.default_rng(3)
     heads, c_in, c_out = 3, 4, 6
     r = jnp.asarray(rng.uniform(0.1, 1, (n_pad, heads)).astype(np.float32))
@@ -124,8 +123,7 @@ def test_xla_numerator_matches_kernel():
     x = jnp.asarray(rng.normal(size=(n_pad, c_in)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(heads, c_in, c_out)).astype(np.float32))
     a = blocksparse.bs_aggregate(
-        r, p, x, w, jnp.asarray(mask), jnp.asarray(blk_idx),
-        jnp.asarray(blk_cnt), jnp.float32,
+        r, p, x, w, jnp.asarray(mask), jnp.asarray(blk_idx), jnp.float32
     )
     b = blocksparse._xla_numerator(
         r, p, x, w, jnp.asarray(mask), jnp.asarray(blk_idx), jnp.float32
