@@ -195,7 +195,6 @@ class HaloTrainer:
     # ------------------------------------------------------------------
     def fit(self, logger: MetricLogger | None = None, on_epoch=None) -> float:
         cfg = self.cfg
-        rng = np.random.default_rng(cfg.seed or 0)
         plateau = (
             optim.PlateauState(cfg.lr, cfg.lr_decay, cfg.lr_step[0])
             if cfg.lr_sch == "auto" else None
@@ -209,6 +208,9 @@ class HaloTrainer:
                 last_lr = optim.lr_at_epoch(cfg, self.epoch)
             self.opt_state = optim.set_lr(self.opt_state, last_lr)
 
+            # epoch-keyed rng: resume replays the exact shuffle/augment
+            # stream of an uninterrupted run (see Trainer.fit)
+            rng = np.random.default_rng((cfg.seed or 0) * 100003 + self.epoch)
             train_m = self.run_epoch(rng, logger)
             eval_m = self.evaluate(logger)
             key_err = (eval_m or train_m)["error_f"]

@@ -349,7 +349,6 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, logger: MetricLogger | None = None, on_epoch=None) -> float:
         cfg = self.cfg
-        rng = np.random.default_rng(cfg.seed or 0)
         plateau = (
             optim.PlateauState(cfg.lr, cfg.lr_decay, cfg.lr_step[0])
             if cfg.lr_sch == "auto"
@@ -364,6 +363,10 @@ class Trainer:
                 last_lr = optim.lr_at_epoch(cfg, self.epoch)
             self.opt_state = optim.set_lr(self.opt_state, last_lr)
 
+            # epoch-keyed rng: a resumed run replays the EXACT shuffle and
+            # augmentation stream of an uninterrupted one (fault-tolerant
+            # restart is trajectory-exact, not just state-exact)
+            rng = np.random.default_rng((cfg.seed or 0) * 100003 + self.epoch)
             train_m = self.run_epoch(rng, logger)
             eval_m = self.evaluate(logger)
 

@@ -132,3 +132,36 @@ def test_config_json_roundtrip(tmp_path):
     cfg2 = Config.from_json(str(p))
     assert cfg2.data_type == "Kinect_v1" and cfg2.lr == 5e-4
     assert tuple(cfg2.lr_step) == (3, 7) and cfg2.force_depth
+
+
+@pytest.mark.slow
+def test_resume_is_trajectory_exact(tmp_path):
+    """Crash-and-resume reproduces the uninterrupted run EXACTLY: the
+    epoch-keyed rng replays the same shuffle/augmentation stream, and the
+    checkpoint restores params+opt+plateau, so params after (2 epochs +
+    resume + 2 epochs) == params after 4 straight epochs."""
+    import jax
+
+    from geobignn_tpu.data.builder import BuildConfig
+    from geobignn_tpu.data.dataset import InMemoryDataset
+    from geobignn_tpu.data import synth
+
+    m_o = synth.icosphere(2)
+    pairs = [(synth.add_noise(m_o, 0.2, seed=i), m_o) for i in range(3)]
+    ds = InMemoryDataset(pairs, BuildConfig(granularity=16))
+    base = dict(seed=5, granularity=16, augment=True, lr=2e-3)
+
+    tr_a = Trainer(Config(max_epoch=4, **base), ds, ds)
+    tr_a.fit()
+
+    d1 = tmp_path / "r1"
+    d1.mkdir()
+    tr_b = Trainer(Config(max_epoch=2, **base), ds, ds, run_dir=str(d1))
+    tr_b.fit()  # "crash" after epoch 2 (ckpt_last written)
+    tr_c = Trainer(Config(max_epoch=4, **base), ds, ds)
+    tr_c.restore(str(d1 / "ckpt_last.pkl"))
+    assert tr_c.epoch == 2
+    tr_c.fit()
+
+    for a, c in zip(jax.tree.leaves(tr_a.params), jax.tree.leaves(tr_c.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
