@@ -38,14 +38,9 @@ def main():
     # persistent compilation cache: the Pallas kernel compiles dominate
     # cold-start wall time on the tunneled TPU (~3.5 min first compile);
     # repeat runs (and the driver's bench invocation) hit the disk cache
-    try:
-        cache_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
-        )
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from geobignn_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     import optax
 

@@ -127,6 +127,20 @@ class Config:
                     "hierarchies; dynamic pooling (edge_weight_type 3-5) "
                     "is not available there"
                 )
+            if self.force_depth:
+                raise ValueError(
+                    "halo training does not implement the force_depth "
+                    "(Kinect) head yet — train Kinect_v1/v2 on the "
+                    "standard dp/gp path"
+                )
+        if self.precision == "bfloat16" and (
+            self.dynamic_pool or self.edge_weight_type in (3, 4, 5)
+            or (self.halo_parts and self.halo_parts > 1)
+        ):
+            raise ValueError(
+                "precision='bfloat16' is only plumbed through the standard "
+                "DualGNN path (dynamic pooling and halo training run f32)"
+            )
         if (self.dynamic_pool or self.edge_weight_type in (3, 4, 5)) and n_chips > 1:
             raise ValueError(
                 "dynamic pooling is single-chip only (dp/gp/dcn must be 1)"

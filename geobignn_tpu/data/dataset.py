@@ -231,9 +231,10 @@ def discover_mesh_pairs(
     data_dir = os.path.join(root_dir, data_type, split)
     noisy_dir = os.path.join(data_dir, "noisy")
     orig_dir = os.path.join(data_dir, "original")
-    if data_list_txt is not None and os.path.exists(
-        os.path.join(root_dir, data_type, data_list_txt)
-    ):
+    if data_list_txt is not None:
+        # a requested split list MUST exist — silently globbing instead
+        # would change the split composition (e.g. leak held-out shapes
+        # into training) without any signal
         with open(os.path.join(root_dir, data_type, data_list_txt)) as f:
             names = [ln.strip() for ln in f if ln.strip()]
     else:

@@ -233,7 +233,9 @@ def _specs(k, tile, heads, c_in, c_out, with_gout: bool):
 
 
 # --------------------------------------------------------------------------
-# XLA twin (interpret/CPU and vma-inside-shard_map fallback)
+# XLA twin — the independent numerator REFERENCE the kernel is pinned
+# against (tests/test_blocksparse.py::test_xla_numerator_matches_kernel);
+# not on any production path (interpret mode runs the kernel itself)
 # --------------------------------------------------------------------------
 
 def _xla_numerator(r, p, x, w, m, blk_idx, compute_dtype):

@@ -46,6 +46,7 @@ class HaloTrainer:
 
         if cfg.halo_parts < 2:
             raise ValueError("HaloTrainer needs cfg.halo_parts >= 2")
+        cfg.validate()
         self.cfg = cfg
         self.run_dir = run_dir
         self.n_parts = cfg.halo_parts
@@ -54,20 +55,18 @@ class HaloTrainer:
         # halo builds run their own per-partition ordering; whole-mesh RCM
         # would be redone anyway
         bc = dataclasses.replace(cfg.build_config(), reorder=False)
-        self.samples = [
-            ht.build_halo_train_sample(
+
+        def build(m_n, m_o):
+            # cfg.granularity (not the builder default 8): similar-size
+            # meshes then share a compiled step (per-shape Pallas compiles
+            # cost minutes on the tunneled TPU)
+            return ht.build_halo_train_sample(
                 m_n, m_o, bc, self.n_parts, seed=cfg.preprocess_seed,
-                banded=cfg.halo_banded,
+                granularity=cfg.granularity, banded=cfg.halo_banded,
             )
-            for m_n, m_o in mesh_pairs
-        ]
-        self.eval_samples = [
-            ht.build_halo_train_sample(
-                m_n, m_o, bc, self.n_parts, seed=cfg.preprocess_seed,
-                banded=cfg.halo_banded,
-            )
-            for m_n, m_o in (eval_pairs or [])
-        ]
+
+        self.samples = [build(m_n, m_o) for m_n, m_o in mesh_pairs]
+        self.eval_samples = [build(m_n, m_o) for m_n, m_o in (eval_pairs or [])]
 
         # params come from the standard flax model on a single-device build
         # of the first mesh (identical parameter pytree; halo_dual_gnn
@@ -106,11 +105,7 @@ class HaloTrainer:
             cfg = self.cfg
             self._steps[key] = self._ht.make_halo_train_step(
                 self.tx, self.mesh, sample.arrays,
-                loss_cfg=dict(
-                    loss_v=cfg.loss_v, loss_n=cfg.loss_n,
-                    loss_v_scale=cfg.loss_v_scale,
-                    loss_n_scale=cfg.loss_n_scale,
-                ),
+                loss_cfg=cfg.loss_cfg(),
                 pool_type=cfg.pool_type,
                 augment=cfg.augment,
                 n_steps=1,
@@ -174,8 +169,12 @@ class HaloTrainer:
             )
             dv = vp - yv
             dn = nf - ynf
-            sums["loss_v"] += float(np.abs(dv).sum())
-            sums["loss_f"] += float(np.abs(dn).sum())
+            # same loss family the halo step optimizes (cfg.loss_v/loss_n;
+            # the halo path supports L1/L2)
+            lv = np.abs(dv) if self.cfg.loss_v == "L1" else dv**2
+            ln = np.abs(dn) if self.cfg.loss_n == "L1" else dn**2
+            sums["loss_v"] += float(lv.sum())
+            sums["loss_f"] += float(ln.sum())
             sums["error_v"] += float(np.sqrt((dv**2).sum(1)).sum())
             en = np.degrees(
                 np.arccos(np.clip(1.0 - (dn**2).sum(1) / 2.0, -1, 1))

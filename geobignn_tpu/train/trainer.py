@@ -80,12 +80,9 @@ class Trainer:
         # edge-weight types 3-5, opt-in for the rest (VERDICT r1 missing #5)
         self.dynamic = cfg.dynamic_pool or cfg.edge_weight_type in (3, 4, 5)
         if self.dynamic:
+            # single-chip-ness already enforced by cfg.validate() above
             from geobignn_tpu.pool.dynamic import DualGNNDynamic
 
-            if cfg.dcn * cfg.dp * cfg.gp > 1:
-                raise ValueError(
-                    "dynamic pooling is single-chip only (dp/gp/dcn must be 1)"
-                )
             self.model = DualGNNDynamic(
                 force_depth=cfg.force_depth, pool_type=cfg.pool_type,
                 heads=cfg.heads, edge_weight_type=cfg.edge_weight_type,

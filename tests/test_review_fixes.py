@@ -187,6 +187,9 @@ def test_config_validate_mode_matrix():
         (dict(halo_parts=2, edge_weight_type=4), "dynamic pooling"),
         (dict(dynamic_pool=True, gp=2), "single-chip"),
         (dict(precision="fp8"), "precision"),
+        (dict(halo_parts=2, data_type="Kinect_v1"), "force_depth"),
+        (dict(precision="bfloat16", dynamic_pool=True), "bfloat16"),
+        (dict(precision="bfloat16", halo_parts=2), "bfloat16"),
         (dict(lr_sch="cosine"), "lr_sch"),
         (dict(optimizer="lion"), "optimizer"),
         (dict(pool_type="sum"), "pool_type"),
@@ -227,3 +230,16 @@ def test_checkpoint_msgpack_format_and_pickle_backcompat(tmp_path):
     pl, ol, sl = ckpt.load_checkpoint(legacy, params)
     np.testing.assert_array_equal(pl["w"], params["w"])
     assert sl["epoch"] == 1
+
+
+def test_discover_mesh_pairs_missing_list_raises(tmp_path):
+    """An explicitly requested split list that does not exist must raise,
+    not silently glob a different split composition."""
+    from geobignn_tpu.data.dataset import discover_mesh_pairs
+
+    d = tmp_path / "Synthetic" / "train" / "original"
+    d.mkdir(parents=True)
+    with pytest.raises(FileNotFoundError):
+        discover_mesh_pairs(str(tmp_path), "Synthetic", "train", "train_list.txt")
+    # no list requested: glob discovery still works (empty here)
+    assert discover_mesh_pairs(str(tmp_path), "Synthetic", "train", None) == []
