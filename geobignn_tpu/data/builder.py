@@ -24,6 +24,7 @@ Deliberate deviations from the reference, documented:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -425,7 +426,10 @@ def attach_band(
         # block-sparse throughput at bench scale (one (T, 3T) matmul per
         # block vs many per-col-block ops); block-sparse exists for levels
         # the band CANNOT serve (bandwidth > MAX_BAND_TILE or merge-drops)
-        use_bs = bsk and not tile
+        # GBN_FORCE_BS=1: perf-sweep override — run block-sparse even where
+        # the contiguous band fits (requires bsk computed in widths_for)
+        force_bs = os.environ.get("GBN_FORCE_BS") == "1"
+        use_bs = bsk and (not tile or force_bs)
         if use_bs:
             n_band = structs.round_up(n, blocksparse.BS_TILE)
             needed = blocksparse.blocks_needed(ei, n_band, blocksparse.BS_TILE)

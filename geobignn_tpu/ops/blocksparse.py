@@ -26,6 +26,7 @@ tests/test_blocksparse.py.  Reference op: PyG FeaStConv
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 from geobignn_tpu.ops.banded_pallas import _interpret, _rwide, _xpw_all
 from geobignn_tpu.structs import round_up
 
-BS_TILE = 256  # fixed row-block size for block-sparse levels: big enough
-# for full MXU tiles, small enough that K tracks the local neighbor span
+BS_TILE = int(os.environ.get("GBN_BS_TILE", "256"))  # row-block size for
+# block-sparse levels: big enough for full MXU tiles, small enough that K
+# tracks the local neighbor span.  Env-tunable for perf sweeps (smaller
+# tiles shrink the padded window K*T toward the true bandwidth at the cost
+# of more grid steps).
 
 
 # --------------------------------------------------------------------------
