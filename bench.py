@@ -64,12 +64,27 @@ def main():
 
     from geobignn_tpu.data.builder import widths_for
 
-    m_o = synth.icosphere(subdiv)
-    m_n = synth.add_noise(m_o, 0.2, seed=0)
-    bc = BuildConfig(granularity=256, reorder=True)
-    bv, bf, meta = build_raw(m_n, m_o, bc)
+    # host-build cache (shared with examples/profile_large.py): the
+    # subdiv-7 hierarchy build costs minutes; kernel-config sweeps and the
+    # driver's bench run shouldn't repay it.  Keyed by subdiv only — the
+    # build inputs (seed, noise, BuildConfig) are constants here.
+    import pickle
+
+    host_cache = f"/tmp/gbn_prof_{subdiv}.pkl"
+    if os.path.exists(host_cache):
+        with open(host_cache, "rb") as fh:
+            bv, bf, meta, single = pickle.load(fh)
+        n_faces = bf.n_nodes
+    else:
+        m_o = synth.icosphere(subdiv)
+        m_n = synth.add_noise(m_o, 0.2, seed=0)
+        bc = BuildConfig(granularity=256, reorder=True)
+        bv, bf, meta = build_raw(m_n, m_o, bc)
+        single, _ = build_dual_sample(m_n, m_o, bc)
+        n_faces = m_n.n_faces
+        with open(host_cache, "wb") as fh:
+            pickle.dump((bv, bf, meta, single), fh)
     msgs = (messages_per_step(bv) + messages_per_step(bf)) * batch_size
-    single, _ = build_dual_sample(m_n, m_o, bc)
     # after union: dense neighbor tables (levels 2-3) + level-1 band masks
     # for the gather-free banded Pallas convs (ops/banded_pallas.py)
     widths = widths_for(bv, bf, meta["fv_indices"], with_bands=True)
@@ -128,7 +143,7 @@ def main():
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        if base.get("faces") == m_n.n_faces and base.get("edges_per_s", 0) > 0:
+        if base.get("faces") == n_faces and base.get("edges_per_s", 0) > 0:
             # baseline measured per single mesh; msgs here counts the batch
             vs_baseline = edges_per_s / base["edges_per_s"]
 

@@ -43,11 +43,23 @@ def main():
     subdiv = int(os.environ.get("PROF_SUBDIV", "7"))
     batch = int(os.environ.get("PROF_BATCH", "1"))
 
-    m_o = synth.icosphere(subdiv)
-    m_n = synth.add_noise(m_o, 0.2, seed=0)
-    bc = BuildConfig(granularity=256, reorder=True)
-    bv, bf, meta = build_raw(m_n, m_o, bc)
-    single, _ = build_dual_sample(m_n, m_o, bc)
+    # host-build cache: the subdiv-7 hierarchy build costs minutes; sweeps
+    # over kernel variants shouldn't repay it (band attachment is NOT
+    # cached — it depends on GBN_BS_TILE/GBN_FORCE_BS)
+    import pickle
+
+    cache = f"/tmp/gbn_prof_{subdiv}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as fh:
+            bv, bf, meta, single = pickle.load(fh)
+    else:
+        m_o = synth.icosphere(subdiv)
+        m_n = synth.add_noise(m_o, 0.2, seed=0)
+        bc = BuildConfig(granularity=256, reorder=True)
+        bv, bf, meta = build_raw(m_n, m_o, bc)
+        single, _ = build_dual_sample(m_n, m_o, bc)
+        with open(cache, "wb") as fh:
+            pickle.dump((bv, bf, meta, single), fh)
     widths = widths_for(bv, bf, meta["fv_indices"], with_bands=True)
     sample = jax.device_put(
         attach_tables(union_batch([single] * batch), widths)

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Large-mesh kernel-config sweep: full train step at 327k faces (B=1).
+# Run AFTER any TPU-holding process exits (exclusive chip).
+# Usage: bash examples/sweep_large.sh [subdiv]
+set -u
+cd "$(dirname "$0")/.."
+SUB=${1:-7}
+export PYTHONPATH=/root/repo:/root/.axon_site
+for cfg in "default::" "bs512:GBN_BS_TILE=512:GBN_FORCE_BS=1" \
+           "bs256:GBN_BS_TILE=256:GBN_FORCE_BS=1" \
+           "bs128:GBN_BS_TILE=128:GBN_FORCE_BS=1"; do
+  name=${cfg%%:*}; rest=${cfg#*:}
+  e1=${rest%%:*}; e2=${rest#*:}
+  echo "=== $name ==="
+  env $e1 $e2 BENCH_SUBDIV=$SUB BENCH_BATCH=1 BENCH_STEPS=3 \
+    timeout 900 python bench.py 2>&1 | grep -v WARNING | tail -2
+done
