@@ -6,9 +6,11 @@ set -u
 cd "$(dirname "$0")/.."
 SUB=${1:-7}
 export PYTHONPATH=/root/repo:/root/.axon_site
-for cfg in "default::" "bs512:GBN_BS_TILE=512:GBN_FORCE_BS=1" \
+# order by predicted win (host-side window-area model: bs128 total window
+# area 1121M vs 1740M for the default band/bs256 mix at subdiv 7)
+for cfg in "bs128:GBN_BS_TILE=128:GBN_FORCE_BS=1" "default::" \
            "bs256:GBN_BS_TILE=256:GBN_FORCE_BS=1" \
-           "bs128:GBN_BS_TILE=128:GBN_FORCE_BS=1"; do
+           "bs512:GBN_BS_TILE=512:GBN_FORCE_BS=1"; do
   name=${cfg%%:*}; rest=${cfg#*:}
   e1=${rest%%:*}; e2=${rest#*:}
   echo "=== $name ==="

@@ -105,3 +105,27 @@ def test_predictor_unpermutes(tmp_path):
     d = np.linalg.norm(vp - m.points, axis=1)
     shuffled = np.linalg.norm(vp - np.roll(m.points, 7, axis=0), axis=1)
     assert d.mean() < 0.5 * shuffled.mean()
+
+
+def test_forced_blocksparse_matches_table_path(monkeypatch):
+    """GBN_FORCE_BS + GBN_BS_TILE (the perf-sweep knobs) route every level
+    through the block-sparse kernel; predictions must still match the
+    table path exactly (same aggregation semantics, different schedule)."""
+    import importlib
+
+    from geobignn_tpu.data import builder as builder_mod
+    from geobignn_tpu.ops import blocksparse
+
+    monkeypatch.setenv("GBN_FORCE_BS", "1")
+    monkeypatch.setattr(blocksparse, "BS_TILE", 64)
+    s_bs, _ = _sample(reorder=True, bands=True)
+    s_tbl, _ = _sample(reorder=True, bands=False)
+    assert s_bs.v.levels[0].blk_idx is not None
+    assert s_bs.f.levels[0].blk_idx is not None
+
+    model = DualGNN()
+    params = model.init(jax.random.PRNGKey(0), s_tbl)
+    v_ref, n_ref = model.apply(params, s_tbl)
+    v_b, n_b = jax.jit(model.apply)(params, s_bs)
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_ref), atol=2e-2)
+    assert np.abs(np.asarray(n_b) - np.asarray(n_ref)).max() < 5e-2
