@@ -1,10 +1,11 @@
 #!/bin/bash
-# Large-mesh kernel-config sweep: full train step at 327k faces (B=1).
+# Kernel-config sweep: full train step at [subdiv] faces, batch [batch].
 # Run AFTER any TPU-holding process exits (exclusive chip).
-# Usage: bash examples/sweep_large.sh [subdiv]
+# Usage: bash examples/sweep_large.sh [subdiv] [batch]
 set -u
 cd "$(dirname "$0")/.."
 SUB=${1:-7}
+BATCH=${2:-1}
 export PYTHONPATH=/root/repo:/root/.axon_site
 # order by predicted win (host-side window-area model: bs128 total window
 # area 1121M vs 1740M for the default band/bs256 mix at subdiv 7)
@@ -14,6 +15,6 @@ for cfg in "bs128:GBN_BS_TILE=128:GBN_FORCE_BS=1" "default::" \
   name=${cfg%%:*}; rest=${cfg#*:}
   e1=${rest%%:*}; e2=${rest#*:}
   echo "=== $name ==="
-  env $e1 $e2 BENCH_SUBDIV=$SUB BENCH_BATCH=1 BENCH_STEPS=3 \
+  env $e1 $e2 BENCH_SUBDIV=$SUB BENCH_BATCH=$BATCH BENCH_STEPS=3 \
     timeout 900 python bench.py 2>&1 | grep -v WARNING | tail -2
 done
