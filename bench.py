@@ -8,9 +8,10 @@ Workload: full DualGNN training step (forward + backward + Adam update,
 jitted) on a disjoint-union batch (data/batching.py) of BENCH_BATCH=8
 noisy icospheres with 20480 faces each — the reference's submesh scale
 (sub_size=20000, code/train_dual.py:55); union batching is the shipped
-batching path and raises chip utilization ~4x over single-sample steps.  "Edges" counts real
-(unpadded) per-conv edge messages per forward: 3 convs touch level-1 edges,
-3 level-2, 2 level-3, per branch (see bench_baseline_torch.messages_per_step).
+batching path and raises chip utilization ~4x over single-sample steps.
+"Edges" counts real (unpadded) per-conv edge messages per forward: 3 convs
+touch level-1 edges, 3 level-2, 2 level-3, per branch (see
+bench_baseline_torch.messages_per_step).
 
 vs_baseline divides by a measured reference-style PyTorch-CPU
 implementation of identical semantics (bench_baseline_torch.py), cached in
@@ -22,77 +23,107 @@ with a device->host transfer, differencing two chain lengths: on the
 tunneled TPU platform `jax.block_until_ready` returns before the device
 finishes, so naive per-dispatch wall-clock is off by orders of magnitude
 (train/profiling.py:device_sync documents the measurement).
+
+Robustness contract (round-2 incident: the driver's run timed out on cold
+Pallas compiles, rc=124, and the round shipped no number): this entry
+point is an ORCHESTRATOR that always prints a JSON line within
+GBN_BENCH_BUDGET_S (default 900 s) —
+
+  1. full config (banded/block-sparse Pallas kernels, 8 x 20480 faces) in
+     a subprocess with a deadline; compile hits the persistent cache under
+     .jax_cache/ (geobignn_tpu.utils.enable_compile_cache), so warm runs
+     take ~2 min;
+  2. on deadline/failure, a fallback subprocess: dense-table formulation
+     only (no Pallas compiles), smaller mesh — compiles in well under the
+     reserve and reports the same metric with "degraded": true;
+  3. if even that fails, a {"value": 0.0, "error": ...} line so the driver
+     records a parse instead of a timeout.
+
+Run `make warm-bench` (or just `python bench.py`) after ANY kernel-config
+change so the driver's invocation hits a warm cache.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
+import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+
+# --------------------------------------------------------------------------
+# worker: one measurement at the configuration given by env vars
+# --------------------------------------------------------------------------
+
+def _host_build(subdiv: int, tables_only: bool):
+    """Build (or load from the repo-local cache) the host-side structures.
+
+    The subdiv-7 hierarchy build costs minutes; kernel-config sweeps and
+    the driver's bench run shouldn't repay it.  Cache key includes a
+    version token + the build knobs so builder changes invalidate stale
+    pickles (they live under the gitignored processed_cache/, not /tmp:
+    predictable world-writable /tmp paths are unpicklable-by-strangers
+    territory and vanish between sessions)."""
+    import pickle
+
+    from geobignn_tpu.data import synth
+    from geobignn_tpu.data.builder import BuildConfig, build_dual_sample, build_raw
+
+    bc = BuildConfig(granularity=256, reorder=not tables_only)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "processed_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    token = f"v2_s{subdiv}_r{int(bc.reorder)}_g{bc.granularity}"
+    path = os.path.join(cache_dir, f"bench_host_{token}.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+    m_o = synth.icosphere(subdiv)
+    m_n = synth.add_noise(m_o, 0.2, seed=0)
+    bv, bf, meta = build_raw(m_n, m_o, bc)
+    single, _ = build_dual_sample(m_n, m_o, bc)
+    built = (bv, bf, meta, single)
+    with open(path, "wb") as fh:
+        pickle.dump(built, fh)
+    return built
 
 
-def main():
-    # persistent compilation cache: the Pallas kernel compiles dominate
-    # cold-start wall time on the tunneled TPU (~3.5 min first compile);
-    # repeat runs (and the driver's bench invocation) hit the disk cache
+def worker() -> None:
     from geobignn_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
 
+    import jax
+    import jax.numpy as jnp
     import optax
 
     from bench_baseline_torch import messages_per_step
     from geobignn_tpu.config import Config
-    from geobignn_tpu.data import synth
-    from geobignn_tpu.data.builder import (
-        BuildConfig,
-        attach_tables,
-        build_dual_sample,
-        build_raw,
-    )
+    from geobignn_tpu.data.batching import union_batch
+    from geobignn_tpu.data.builder import attach_tables, widths_for
     from geobignn_tpu.models import DualGNN
     from geobignn_tpu.train.trainer import _metrics_of
 
     subdiv = int(os.environ.get("BENCH_SUBDIV", "5"))  # 20480 faces
     steps = int(os.environ.get("BENCH_STEPS", "6"))
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    tables_only = os.environ.get("GBN_BENCH_TABLES") == "1"
 
-    from geobignn_tpu.data.batching import union_batch
-
-    from geobignn_tpu.data.builder import widths_for
-
-    # host-build cache (shared with examples/profile_large.py): the
-    # subdiv-7 hierarchy build costs minutes; kernel-config sweeps and the
-    # driver's bench run shouldn't repay it.  Keyed by subdiv only — the
-    # build inputs (seed, noise, BuildConfig) are constants here.
-    import pickle
-
-    host_cache = f"/tmp/gbn_prof_{subdiv}.pkl"
-    if os.path.exists(host_cache):
-        with open(host_cache, "rb") as fh:
-            bv, bf, meta, single = pickle.load(fh)
-        n_faces = bf.n_nodes
-    else:
-        m_o = synth.icosphere(subdiv)
-        m_n = synth.add_noise(m_o, 0.2, seed=0)
-        bc = BuildConfig(granularity=256, reorder=True)
-        bv, bf, meta = build_raw(m_n, m_o, bc)
-        single, _ = build_dual_sample(m_n, m_o, bc)
-        n_faces = m_n.n_faces
-        with open(host_cache, "wb") as fh:
-            pickle.dump((bv, bf, meta, single), fh)
+    bv, bf, meta, single = _host_build(subdiv, tables_only)
+    n_faces = bf.n_nodes
     msgs = (messages_per_step(bv) + messages_per_step(bf)) * batch_size
     # after union: dense neighbor tables (levels 2-3) + level-1 band masks
-    # for the gather-free banded Pallas convs (ops/banded_pallas.py)
-    widths = widths_for(bv, bf, meta["fv_indices"], with_bands=True)
+    # for the gather-free banded Pallas convs (ops/banded_pallas.py);
+    # tables-only mode (the budget fallback) skips every Pallas compile
+    widths = widths_for(bv, bf, meta["fv_indices"], with_bands=not tables_only)
     sample = attach_tables(union_batch([single] * batch_size), widths)
 
     cfg = Config(granularity=256)
     model = DualGNN()
-    params = model.init(jax.random.PRNGKey(0), single)
+    # jit the init: eager flax init dispatches hundreds of tiny ops
+    # individually over the tunneled TPU (~3 min measured, load-dependent)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), single)
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
@@ -139,26 +170,93 @@ def main():
     roof = roofline(sample, dt)
 
     vs_baseline = 0.0
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        if base.get("faces") == n_faces and base.get("edges_per_s", 0) > 0:
-            # baseline measured per single mesh; msgs here counts the batch
-            vs_baseline = edges_per_s / base["edges_per_s"]
+        entries = base.get("entries", [base])  # legacy single-entry format
+        for e in entries:
+            if e.get("faces") == n_faces and e.get("edges_per_s", 0) > 0:
+                # baseline measured per single mesh; msgs counts the batch
+                vs_baseline = edges_per_s / e["edges_per_s"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_edges_per_s",
-                "value": round(edges_per_s, 1),
-                "unit": "edges/s/chip",
-                "vs_baseline": round(vs_baseline, 3),
-                **roof,
-            }
+    out = {
+        "metric": "train_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(vs_baseline, 3),
+        **roof,
+    }
+    if tables_only:
+        out["degraded"] = True
+        out["note"] = "budget fallback: dense-table formulation"
+    print(json.dumps(out), flush=True)
+
+
+# --------------------------------------------------------------------------
+# orchestrator: always prints one JSON line within the budget
+# --------------------------------------------------------------------------
+
+def _run_attempt(env_extra: dict, timeout_s: float) -> dict | None:
+    env = dict(os.environ)
+    env.update(env_extra)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-    )
+    except subprocess.TimeoutExpired:
+        print(f"bench: attempt timed out after {timeout_s:.0f}s "
+              f"(env {env_extra})", file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+                if "value" in parsed:
+                    return parsed
+            except json.JSONDecodeError:
+                continue
+    print(f"bench: attempt rc={proc.returncode}; stderr tail:\n"
+          + "\n".join(proc.stderr.strip().splitlines()[-8:]), file=sys.stderr)
+    return None
+
+
+def main() -> None:
+    t0 = time.monotonic()
+    budget = float(os.environ.get("GBN_BENCH_BUDGET_S", "900"))
+    reserve = float(os.environ.get("GBN_BENCH_RESERVE_S", "360"))
+
+    # attempt 1: full configuration (Pallas kernels).  Warm compile cache
+    # -> ~2 min; cold -> ~5-8 min depending on remote-compile server load.
+    full_timeout = max(budget - reserve - (time.monotonic() - t0), 120.0)
+    result = _run_attempt({}, full_timeout)
+
+    if result is None:
+        # attempt 2: no-Pallas fallback (dense tables, smaller mesh):
+        # nothing left to compile but plain XLA, well under the reserve
+        remaining = max(budget - (time.monotonic() - t0) - 15.0, 90.0)
+        result = _run_attempt(
+            {"GBN_BENCH_TABLES": "1", "BENCH_SUBDIV": "4", "BENCH_BATCH": "4"},
+            remaining,
+        )
+
+    if result is None:
+        result = {
+            "metric": "train_edges_per_s", "value": 0.0,
+            "unit": "edges/s/chip", "vs_baseline": 0.0,
+            "error": "all bench attempts failed within budget "
+                     f"({budget:.0f}s); see stderr",
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        main()

@@ -23,15 +23,8 @@ def main():
     import optax
 
     from geobignn_tpu.config import Config
-    from geobignn_tpu.data import synth
     from geobignn_tpu.data.batching import union_batch
-    from geobignn_tpu.data.builder import (
-        BuildConfig,
-        attach_tables,
-        build_dual_sample,
-        build_raw,
-        widths_for,
-    )
+    from geobignn_tpu.data.builder import attach_tables, widths_for
     from geobignn_tpu.models import DualGNN
     from geobignn_tpu.models.dual_gnn import FeaStConv, pool_features
     from geobignn_tpu.ops import table as tbl
@@ -45,21 +38,11 @@ def main():
 
     # host-build cache: the subdiv-7 hierarchy build costs minutes; sweeps
     # over kernel variants shouldn't repay it (band attachment is NOT
-    # cached — it depends on GBN_BS_TILE/GBN_FORCE_BS)
-    import pickle
+    # cached — it depends on GBN_BS_TILE/GBN_FORCE_BS).  Shared with
+    # bench.py: repo-local, version+config-keyed (ADVICE r2: /tmp pickles).
+    from bench import _host_build
 
-    cache = f"/tmp/gbn_prof_{subdiv}.pkl"
-    if os.path.exists(cache):
-        with open(cache, "rb") as fh:
-            bv, bf, meta, single = pickle.load(fh)
-    else:
-        m_o = synth.icosphere(subdiv)
-        m_n = synth.add_noise(m_o, 0.2, seed=0)
-        bc = BuildConfig(granularity=256, reorder=True)
-        bv, bf, meta = build_raw(m_n, m_o, bc)
-        single, _ = build_dual_sample(m_n, m_o, bc)
-        with open(cache, "wb") as fh:
-            pickle.dump((bv, bf, meta, single), fh)
+    bv, bf, meta, single = _host_build(subdiv, tables_only=False)
     widths = widths_for(bv, bf, meta["fv_indices"], with_bands=True)
     sample = jax.device_put(
         attach_tables(union_batch([single] * batch), widths)

@@ -24,7 +24,9 @@ def main():
     from geobignn_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
-    bv, bf, meta, single = pickle.load(open("/tmp/gbn_prof_7.pkl", "rb"))
+    from bench import _host_build  # repo-local version-keyed host cache
+
+    bv, bf, meta, single = _host_build(7, tables_only=False)
     ei = bf.edge_index
     n = bf.n_nodes
     n_pad = round_up(n + 1, tile)

@@ -20,8 +20,13 @@ def main():
     if len(sys.argv) > 1:
         run_dir = sys.argv[1]
     else:
-        runs = sorted(glob.glob("log/GeoBi-GNN_SynthCampaign_campaign/*/"))
-        run_dir = runs[-1]
+        runs = glob.glob("log/GeoBi-GNN_SynthCampaign_campaign/*/")
+        if not runs:
+            sys.exit("no campaign run dirs under "
+                     "log/GeoBi-GNN_SynthCampaign_campaign/ — pass one "
+                     "explicitly: summarize_campaign.py RUN_DIR")
+        run_dir = max(runs, key=os.path.getmtime)  # newest by mtime, not
+        # by lexicographic name
     print(f"run: {run_dir}\n")
 
     test_rows = []

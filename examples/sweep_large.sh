@@ -15,6 +15,9 @@ for cfg in "bs128:GBN_BS_TILE=128:GBN_FORCE_BS=1" "default::" \
   name=${cfg%%:*}; rest=${cfg#*:}
   e1=${rest%%:*}; e2=${rest#*:}
   echo "=== $name ==="
-  env $e1 $e2 BENCH_SUBDIV=$SUB BENCH_BATCH=$BATCH BENCH_STEPS=3 \
-    timeout 900 python bench.py 2>&1 | grep -v WARNING | tail -2
+  # -u: the 'default' row must not inherit sweep knobs from the calling
+  # shell (ADVICE r2); --worker: measure directly, no orchestrator/fallback
+  env -u GBN_BS_TILE -u GBN_FORCE_BS $e1 $e2 \
+    BENCH_SUBDIV=$SUB BENCH_BATCH=$BATCH BENCH_STEPS=3 \
+    timeout 900 python bench.py --worker 2>&1 | grep -v WARNING | tail -2
 done

@@ -304,7 +304,7 @@ def widths_for(
             t = tuple(x if x <= banded.MAX_BAND_TILE else 0 for x in picked)
             ns = (b.n_nodes, s1.n_out, s2.n_out)
             bsk = tuple(
-                blocksparse.blocks_needed(ei, n + 1, blocksparse.BS_TILE)
+                blocksparse.blocks_needed(ei, n + 1, blocksparse.bs_tile())
                 for ei, n in zip(eis, ns)
             )
             return t, bsk
@@ -429,16 +429,23 @@ def attach_band(
         # GBN_FORCE_BS=1: perf-sweep override — run block-sparse even where
         # the contiguous band fits (requires bsk computed in widths_for)
         force_bs = os.environ.get("GBN_FORCE_BS") == "1"
+        if force_bs and "force_bs" not in _BAND_DROPS_WARNED:
+            # an env var leaked from a perf sweep silently changing the
+            # kernel schedule must at least be visible in the run log
+            _BAND_DROPS_WARNED.add("force_bs")
+            print("note: GBN_FORCE_BS=1 — block-sparse forced over banded "
+                  "for every level that computed a K")
         use_bs = bsk and (not tile or force_bs)
         if use_bs:
-            n_band = structs.round_up(n, blocksparse.BS_TILE)
-            needed = blocksparse.blocks_needed(ei, n_band, blocksparse.BS_TILE)
+            bt = blocksparse.bs_tile()
+            n_band = structs.round_up(n, bt)
+            needed = blocksparse.blocks_needed(ei, n_band, bt)
             if needed > bsk:  # union-batch block straddling can exceed the
                 # per-sample merge; widening K here changes the compiled
                 # shape for THIS batch only
                 print(f"note: block-sparse K widened {bsk} -> {needed}")
             blk_idx, mask, _ = blocksparse.block_sparse_np(
-                ei, n_band, blocksparse.BS_TILE, k_pad=max(bsk, needed)
+                ei, n_band, bt, k_pad=max(bsk, needed)
             )
             levels.append(lvl.replace(band=mask, blk_idx=blk_idx))
         elif tile:

@@ -37,11 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 from geobignn_tpu.ops.banded_pallas import _interpret, _rwide, _xpw_all
 from geobignn_tpu.structs import round_up
 
-BS_TILE = int(os.environ.get("GBN_BS_TILE", "256"))  # row-block size for
-# block-sparse levels: big enough for full MXU tiles, small enough that K
-# tracks the local neighbor span.  Env-tunable for perf sweeps (smaller
-# tiles shrink the padded window K*T toward the true bandwidth at the cost
-# of more grid steps).
+def bs_tile() -> int:
+    """Row-block size for block-sparse levels: big enough for full MXU
+    tiles, small enough that K tracks the local neighbor span.  Read from
+    GBN_BS_TILE at USE time (not import time) so perf sweeps and
+    monkeypatch.setenv take effect in long-lived processes (ADVICE r2)."""
+    return int(os.environ.get("GBN_BS_TILE", "256"))
 
 
 # --------------------------------------------------------------------------
@@ -97,8 +98,9 @@ def block_sparse_np(
     return blk_idx, mask, k_needed
 
 
-def blocks_needed(edge_index: np.ndarray, n: int, tile: int = BS_TILE) -> int:
+def blocks_needed(edge_index: np.ndarray, n: int, tile: int | None = None) -> int:
     """Max column blocks any row block needs (cheap; no mask built)."""
+    tile = bs_tile() if tile is None else tile
     row = edge_index[0].astype(np.int64)
     col = edge_index[1].astype(np.int64)
     real = row != col

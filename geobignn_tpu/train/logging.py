@@ -1,13 +1,16 @@
-"""Observability: JSONL metric stream + stdout tee.
+"""Observability: JSONL metric stream + TensorBoard events + stdout tee.
 
 Replaces tensorboardX scalars + Print_Logger (code/train_dual.py:21-32,
 134-136, 222-226).  Metrics go to `{run_dir}/metrics.jsonl`, one record per
-event, machine-readable for plotting/benchmark harvesting; stdout is teed
-to `training_info.txt`."""
+event, machine-readable for plotting/benchmark harvesting; the same
+scalars also stream to TensorBoard event files under `{run_dir}/tb/{split}`
+(train/tb_writer.py — pure-python writer, mirrors the reference's two
+tensorboardX SummaryWriters); stdout is teed to `training_info.txt`."""
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -27,9 +30,23 @@ class Tee:
 
 
 class MetricLogger:
-    def __init__(self, path: str):
+    def __init__(self, path: str, tensorboard: bool = True):
         self.f = open(path, "a")
         self.t0 = time.time()
+        # one event dir per split, like the reference's train/test writers
+        self._tb_root = (
+            os.path.join(os.path.dirname(path), "tb") if tensorboard else None
+        )
+        self._tb: dict = {}
+
+    def _tb_writer(self, split: str):
+        if self._tb_root is None:
+            return None
+        if split not in self._tb:
+            from geobignn_tpu.train.tb_writer import EventWriter
+
+            self._tb[split] = EventWriter(os.path.join(self._tb_root, split))
+        return self._tb[split]
 
     def log(self, split: str, epoch: int, step: int | None = None, **metrics):
         rec = {
@@ -42,6 +59,14 @@ class MetricLogger:
         rec.update({k: float(v) for k, v in metrics.items()})
         self.f.write(json.dumps(rec) + "\n")
         self.f.flush()
+        w = self._tb_writer(split)
+        if w is not None:
+            w.add_scalars(
+                {k: float(v) for k, v in metrics.items()},
+                step if step is not None else epoch,
+            )
 
     def close(self):
         self.f.close()
+        for w in self._tb.values():
+            w.close()

@@ -33,6 +33,15 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Pallas/Mosaic kernels serialize their MLIR (incl. per-op source
+        # locations with FULL call-stack tracebacks) into the custom_call
+        # payload, which IS part of the compile-cache key — so by default
+        # any line shift in any file on the trace stack invalidates every
+        # cached executable (round-2 incident: driver bench timed out on
+        # the resulting cold recompile).  Dropping tracebacks from MLIR
+        # locations makes lowered modules byte-identical across unrelated
+        # source edits (verified: identical lowerings from shifted files).
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:
         pass  # older jax without the knobs: cold compiles only
 

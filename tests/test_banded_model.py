@@ -117,7 +117,7 @@ def test_forced_blocksparse_matches_table_path(monkeypatch):
     from geobignn_tpu.ops import blocksparse
 
     monkeypatch.setenv("GBN_FORCE_BS", "1")
-    monkeypatch.setattr(blocksparse, "BS_TILE", 64)
+    monkeypatch.setenv("GBN_BS_TILE", "64")  # read at use time (ADVICE r2)
     s_bs, _ = _sample(reorder=True, bands=True)
     s_tbl, _ = _sample(reorder=True, bands=False)
     assert s_bs.v.levels[0].blk_idx is not None
