@@ -4,19 +4,32 @@ The XLA formulation of the rank-H factorized conv materializes the
 (B, T, W) denominator and per-head weight slabs in HBM (~14 GB of traffic
 per level-1 conv — measured 23 ms fwd, slower than the gather path).  These
 kernels keep every (T, W) intermediate in VMEM: per grid step (one band
-block b) the forward loads r (T,H), the 3-block windows of p^T and x, the
-int8 band mask, computes D = r @ p_win^T once on the MXU, then loops the 9
-heads accumulating (M ⊙ p_h ⊙ D^-1) @ x_win @ W_h — HBM traffic is just
-the operands (mask + 3x features) and the output.
+block b) the forward loads r, the 3-block windows of p^T and x^T, the int8
+band mask, computes D once on the MXU, then two wide MXU matmuls produce
+the head-flattened output — HBM traffic is just the operands (mask + 3x
+features) and the output.
+
+TRANSPOSED LAYOUT (round 3): the head-flattened operands are built and
+consumed with the flattened H*C axis on SUBLANES and the node axis on
+LANES.  The original layout built xpw[w, h*C+c] = p_h(w)·x[w, c] by
+broadcasting the (W,) column p_h across lanes — a Mosaic lane-broadcast
+that dominated the whole kernel (measured: the z matmul at HALF width only
+cut 15% of kernel time, and f32 compute was free ⇒ not MXU-bound).
+Building the transpose xpwT[h*C+c, w] = p[h, w]·xT[c, w] instead
+broadcasts a (1, W) ROW across sublanes — near-free — and the matmuls
+contract lane-to-lane (transposed dot_general), which Mosaic handles at
+full tile efficiency.  Measured on the bench facet-L1 shape (N=165888,
+T=384, C 64→32, H9): 4.49 ms → 1.37 ms forward (3.3×), bit-identical
+output.
 
 The backward kernel recomputes D/G per block (cheap MXU work) and emits
 per-block window slabs for x̄ and p̄ which the XLA wrapper folds with two
 shifted adds (overlap-add; no scatter), plus W̄ accumulated across grid
 steps into a single revisited output block.
 
-Layouts: p is passed TRANSPOSED (B+2, H, T) so a head's window row p_h is
-lane-contiguous; T is the sublane dim (multiple of 8), W = 3T the lane dim
-(multiple of 128 via pick_tile's 128 granularity).
+Layouts: p and x are passed TRANSPOSED (B+2, H|C, T) so a window row is
+lane-contiguous; T is the lane dim (multiple of 128 via pick_tile's
+granularity), sublane dims are H/C/H·C.
 """
 
 from __future__ import annotations
@@ -30,154 +43,164 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _common(r_ref, pts, xs, m_ref):
-    r = r_ref[0]  # (T, H)
-    pw = jnp.concatenate([p[0] for p in pts], axis=-1)  # (H, W)
-    xw = jnp.concatenate([x[0] for x in xs], axis=0)  # (W, C)
+def _common_T(rt_ref, pts, xts, m_ref):
+    rt = rt_ref[0]  # (H, T)
+    pw = jnp.concatenate([q[0] for q in pts], axis=-1)  # (H, W)
+    xwt = jnp.concatenate([q[0] for q in xts], axis=-1)  # (C, W)
     mf = m_ref[0].astype(jnp.float32)  # (T, W)
     d = jax.lax.dot_general(
-        r, pw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rt, pw, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (T, W)
-    return r, pw, xw, mf, d
+    return rt, pw, xwt, mf, d
 
 
-def _xpw_all(pw, xw, heads, compute_dtype):
-    """xpw[w, h*C + c] = p_h(w) * x_win[w, c] — the per-head scaling folded
-    into ONE wide (W, H*C) matmul operand, so every contraction runs with
-    full 128-lane tiles and there is no per-head (T, W) VPU work at all.
-    (Broadcast multiplies stay f32: Mosaic can't insert a minor dim on
-    16-bit types.)"""
+def _xpw_T(pw, xwt, heads, compute_dtype):
+    """xpwT[h*C + c, w] = p_h(w) * xT[c, w] — per-head scaling folded into
+    ONE wide (H*C, W) operand.  The p_h row broadcast runs across SUBLANES
+    (cheap); the original lane-direction broadcast dominated the kernel."""
     return jnp.concatenate(
-        [(pw[h][:, None] * xw) for h in range(heads)], axis=1
+        [(pw[h][None, :] * xwt) for h in range(heads)], axis=0
     ).astype(compute_dtype)
 
 
-def _rwide(r, c_in, heads):
-    """r_wide[t, h*C + c] = r[t, h] (lane-expanded to match xpw layout)."""
-    t = r.shape[0]
+def _rwide_T(rt, c_in, heads):
+    """rwT[h*C + c, t] = r[t, h] (sublane-expanded to match xpwT layout)."""
+    t = rt.shape[1]
     return jnp.concatenate(
-        [jnp.broadcast_to(r[:, h][:, None], (t, c_in)) for h in range(heads)],
-        axis=1,
+        [jnp.broadcast_to(rt[h][None, :], (c_in, t)) for h in range(heads)],
+        axis=0,
     )
 
 
-def _fwd_kernel(r_ref, pt0, pt1, pt2, x0, x1, x2, m_ref, w_ref, out_ref,
+def _fwd_kernel(rt_ref, pt0, pt1, pt2, xt0, xt1, xt2, m_ref, w_ref, out_ref,
                 *, heads: int, compute_dtype):
-    """out = ((M/D) @ (p ⊗ x_win) ⊙ r ⊗ 1) @ W, all heads flattened into
-    the lane dimension: two wide MXU matmuls per block."""
-    r, pw, xw, mf, d = _common(r_ref, (pt0, pt1, pt2), (x0, x1, x2), m_ref)
-    c_in = xw.shape[1]
+    """outT = W^T ((xpwT @ (M/D)^T) ⊙ rwT), all heads flattened into the
+    sublane dimension: two wide MXU matmuls per block."""
+    rt, pw, xwt, mf, d = _common_T(rt_ref, (pt0, pt1, pt2), (xt0, xt1, xt2), m_ref)
+    c_in = xwt.shape[0]
     minv = (mf / jnp.maximum(d, 1e-12)).astype(compute_dtype)
 
-    xpw = _xpw_all(pw, xw, heads, compute_dtype)  # (W, H*C)
-    z = jnp.dot(minv, xpw, preferred_element_type=jnp.float32)  # (T, H*C)
-    zr = (z * _rwide(r, c_in, heads)).astype(compute_dtype)
+    xpwT = _xpw_T(pw, xwt, heads, compute_dtype)  # (H*C, W)
+    zT = jax.lax.dot_general(  # (H*C, T)
+        xpwT, minv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    zrT = (zT * _rwide_T(rt, c_in, heads)).astype(compute_dtype)
     w_flat = w_ref[:].astype(compute_dtype)  # (H*C, C_out), pre-flattened
-    out_ref[0] = jnp.dot(zr, w_flat, preferred_element_type=jnp.float32)
+    out_ref[0] = jax.lax.dot_general(  # (C_out, T)
+        w_flat, zrT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
-def _bwd_kernel(r_ref, pt0, pt1, pt2, x0, x1, x2, m_ref, w_ref, gout_ref,
+def _bwd_kernel(rt_ref, pt0, pt1, pt2, xt0, xt1, xt2, m_ref, w_ref, gt_ref,
                 rbar_ref, pbar_ref, xbar_ref, wbar_ref,
                 *, heads: int, compute_dtype):
-    """Flattened-heads backward: five wide MXU matmuls per block.
+    """Flattened-heads backward, fully transposed: five wide MXU matmuls.
 
-      z    = minv @ xpw                       (forward recompute)
-      ḡz   = (ḡ W_flat^T) ⊙ r_wide            cotangent at z
-      W̄    = (z ⊙ r_wide)^T ḡ                 per-block slab, XLA-reduced
-      A    = minv^T @ ḡz                      closes x̄ and p̄:
-               x̄_w = Σ_h p_h ⊙ A_h ;  p̄_h = Σ_c xw ⊙ A_h
-      K    = ḡz @ xpw^T                       = Σ_h p_h ⊙ (ȳ_h xw^T) — the
-             denominator path collapses into ONE matmul because xpw already
-             carries the p_h scaling
-      d̄   = -(M/D^2) ⊙ K ; r̄ += d̄ @ pw^T ; p̄ += r^T @ d̄
+      zT   = xpwT @ minv^T                     (forward recompute)
+      ḡzT  = (W_flat ḡ^T) ⊙ rwT                cotangent at z
+      W̄    = zrT ḡ^T                           per-block slab, XLA-reduced
+      aT   = ȳT @ minv                         closes x̄ and p̄:
+               x̄T_c = Σ_h p_h ⊙ aT_h ;  p̄_h = Σ_c xT ⊙ aT_h
+      K    = ȳT^T·xpwT (contract HC)           = Σ_h p_h ⊙ (ȳ_h x^T) — the
+             denominator path collapses into ONE matmul because xpwT
+             already carries the p_h scaling
+      d̄   = -(M/D^2) ⊙ K ; r̄T += pw @ d̄^T ; p̄ += rt @ d̄
     """
-    r, pw, xw, mf, d = _common(r_ref, (pt0, pt1, pt2), (x0, x1, x2), m_ref)
-    c_in = xw.shape[1]
-    gout = gout_ref[0]  # (T, C_out)
+    rt, pw, xwt, mf, d = _common_T(rt_ref, (pt0, pt1, pt2), (xt0, xt1, xt2), m_ref)
+    c_in = xwt.shape[0]
+    gt = gt_ref[0]  # (C_out, T)
 
     dinv = 1.0 / jnp.maximum(d, 1e-12)
     minv = mf * dinv
     minv_c = minv.astype(compute_dtype)
     mdd = jnp.where(d > 1e-12, -minv * dinv, 0.0)  # clamp subgradient
 
-    xpw = _xpw_all(pw, xw, heads, compute_dtype)  # (W, H*C)
-    r_wide = _rwide(r, c_in, heads)  # (T, H*C)
-    gout_c = gout.astype(compute_dtype)
-    w_flat = w_ref[:].astype(compute_dtype)  # (H*C, C_out), pre-flattened
+    xpwT = _xpw_T(pw, xwt, heads, compute_dtype)  # (HC, W)
+    rwT = _rwide_T(rt, c_in, heads)  # (HC, T)
+    gt_c = gt.astype(compute_dtype)
+    w_flat = w_ref[:].astype(compute_dtype)  # (HC, C_out)
 
-    z = jnp.dot(minv_c, xpw, preferred_element_type=jnp.float32)  # (T, HC)
-    gy = jnp.dot(
-        gout_c, w_flat.T, preferred_element_type=jnp.float32
-    )  # (T, HC)
-    zr = (z * r_wide).astype(compute_dtype)
+    zT = jax.lax.dot_general(  # (HC, T)
+        xpwT, minv_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gyT = jax.lax.dot_general(  # (HC, T)
+        w_flat, gt_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    zrT = (zT * rwT).astype(compute_dtype)
     wbar_ref[0] = jax.lax.dot_general(  # (HC, C_out); caller reshapes
-        zr, gout_c, (((0,), (0,)), ((), ())),
+        zrT, gt_c, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    # r̄ direct part: per-head lane-group rowsums of gy ⊙ z via one matmul
-    # against a block-diagonal ones matrix (in-kernel (T,HC)->(T*H,C)
-    # reshapes do not lower)
+    # r̄ direct part: per-head sublane-group column sums of gy ⊙ z via one
+    # matmul against a block-diagonal ones matrix
     hc = heads * c_in
     blk_rows = jax.lax.broadcasted_iota(jnp.int32, (hc, heads), 0) // c_in
     blk_cols = jax.lax.broadcasted_iota(jnp.int32, (hc, heads), 1)
     ones_blk = (blk_rows == blk_cols).astype(compute_dtype)  # (HC, H)
-    rbar_direct = jnp.dot(
-        (gy * z).astype(compute_dtype), ones_blk,
-        preferred_element_type=jnp.float32,
-    )  # (T, H)
-
-    ybar = (gy * r_wide).astype(compute_dtype)  # (T, HC)
-    a = jax.lax.dot_general(  # minv^T ȳ -> (W, HC)
-        minv_c, ybar, (((0,), (0,)), ((), ())),
+    gz = (gyT * zT).astype(compute_dtype)
+    rbar_direct = jax.lax.dot_general(  # (H, T)
+        ones_blk, gz, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    xbar = jnp.zeros((xw.shape[0], c_in), jnp.float32)
-    pbar_rows = []
-    for h in range(heads):  # (W, C)-strip epilogues, VPU-cheap
-        a_h = a[:, h * c_in : (h + 1) * c_in]
-        xbar = xbar + pw[h][:, None] * a_h
-        pbar_rows.append((a_h * xw).sum(axis=1)[None, :])
 
-    k = jax.lax.dot_general(  # ȳ xpw^T: whole denominator path in one dot
-        ybar, xpw, (((1,), (1,)), ((), ())),
+    ybarT = (gyT * rwT).astype(compute_dtype)  # (HC, T)
+    aT = jax.lax.dot_general(  # ȳT minv -> (HC, W)
+        ybarT, minv_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xbarT = jnp.zeros((c_in, xpwT.shape[1]), jnp.float32)
+    pbar_rows = []
+    for h in range(heads):  # (C, W)-strip epilogues, sublane-cheap
+        a_h = aT[h * c_in : (h + 1) * c_in]
+        xbarT = xbarT + pw[h][None, :] * a_h
+        pbar_rows.append((a_h * xwt).sum(axis=0)[None, :])
+
+    k = jax.lax.dot_general(  # ȳT^T xpwT: denominator path in one dot
+        ybarT, xpwT, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (T, W)
     dbar = mdd * k
-    rbar_d = jax.lax.dot_general(
-        dbar, pw, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (T, H)
+    rbar_d = jax.lax.dot_general(  # (H, T); f32 like the original
+        pw, dbar, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     rbar_ref[0] = rbar_direct + rbar_d
     pbar_ref[0] = jnp.concatenate(pbar_rows, axis=0) + jax.lax.dot_general(
-        r, dbar, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rt, dbar, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (H, W)
-    xbar_ref[0] = xbar
+    xbar_ref[0] = xbarT
 
 
 def _specs(n_blk, tile, heads, c_in, c_out, with_gout: bool):
     w = 3 * tile
     v = pltpu.VMEM
     ins = [
-        pl.BlockSpec((1, tile, heads), lambda b: (b, 0, 0), memory_space=v),  # r
+        pl.BlockSpec((1, heads, tile), lambda b: (b, 0, 0), memory_space=v),  # rT
         pl.BlockSpec((1, heads, tile), lambda b: (b, 0, 0), memory_space=v),  # pT b-1
         pl.BlockSpec((1, heads, tile), lambda b: (b + 1, 0, 0), memory_space=v),
         pl.BlockSpec((1, heads, tile), lambda b: (b + 2, 0, 0), memory_space=v),
-        pl.BlockSpec((1, tile, c_in), lambda b: (b, 0, 0), memory_space=v),  # x b-1
-        pl.BlockSpec((1, tile, c_in), lambda b: (b + 1, 0, 0), memory_space=v),
-        pl.BlockSpec((1, tile, c_in), lambda b: (b + 2, 0, 0), memory_space=v),
+        pl.BlockSpec((1, c_in, tile), lambda b: (b, 0, 0), memory_space=v),  # xT b-1
+        pl.BlockSpec((1, c_in, tile), lambda b: (b + 1, 0, 0), memory_space=v),
+        pl.BlockSpec((1, c_in, tile), lambda b: (b + 2, 0, 0), memory_space=v),
         pl.BlockSpec((1, tile, w), lambda b: (b, 0, 0), memory_space=v),  # mask
         pl.BlockSpec((heads * c_in, c_out), lambda b: (0, 0), memory_space=v),
     ]
     if with_gout:
-        ins.append(pl.BlockSpec((1, tile, c_out), lambda b: (b, 0, 0), memory_space=v))
+        ins.append(pl.BlockSpec((1, c_out, tile), lambda b: (b, 0, 0), memory_space=v))
     return ins
 
 
-def _pad_blocks(arr, tile):
-    """(N, C) -> (B+2, T, C): one zero block on each side."""
+def _pad_blocks_T(arr, tile):
+    """(N, C) -> (B+2, C, T): one zero block on each side, transposed."""
     n, c = arr.shape
     z = jnp.zeros((tile, c), arr.dtype)
-    return jnp.concatenate([z, arr, z]).reshape(-1, tile, c)
+    blocks = jnp.concatenate([z, arr, z]).reshape(-1, tile, c)
+    return jnp.moveaxis(blocks, -1, -2)
 
 
 def banded_aggregate(r, p, x, w, m, compute_dtype=jnp.bfloat16, vma=None):
@@ -252,18 +275,18 @@ def _call_fwd(r, p, x, w, m, compute_dtype, vma=None):
     w_flat = w.reshape(heads * c_in, c_out)
     if vma is not None:  # lift replicated operands to the varying set
         w_flat = jax.lax.pcast(w_flat, tuple(vma), to='varying')
-    r_blk = r.reshape(n_blk, tile, heads)
-    pt = jnp.moveaxis(_pad_blocks(p, tile), -1, -2)  # (B+2, H, T)
-    xb = _pad_blocks(x, tile)  # (B+2, T, C)
+    rt = jnp.moveaxis(r.reshape(n_blk, tile, heads), -1, -2)  # (B, H, T)
+    pt = _pad_blocks_T(p, tile)  # (B+2, H, T)
+    xt = _pad_blocks_T(x, tile)  # (B+2, C, T)
     flops = int(2 * n * win * (heads * (c_in + 1) + heads * c_out / 3))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, heads=heads, compute_dtype=compute_dtype),
         grid=(n_blk,),
         in_specs=_specs(n_blk, tile, heads, c_in, c_out, False),
         out_specs=pl.BlockSpec(
-            (1, tile, c_out), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, c_out, tile), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=_sds((n_blk, tile, c_out), vma),
+        out_shape=_sds((n_blk, c_out, tile), vma),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=m.size + 3 * x.size * 4, transcendentals=0
         ),
@@ -273,8 +296,8 @@ def _call_fwd(r, p, x, w, m, compute_dtype, vma=None):
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(r_blk, pt, pt, pt, xb, xb, xb, m, w_flat)
-    return out.reshape(n, c_out)
+    )(rt, pt, pt, pt, xt, xt, xt, m, w_flat)
+    return jnp.moveaxis(out, -1, -2).reshape(n, c_out)
 
 
 def _interpret() -> bool:
@@ -288,16 +311,17 @@ def _banded_aggregate_fwd(r, p, x, w, m, compute_dtype, vma):
     return out, (r, p, x, w, m)
 
 
-def _fold_windows(slabs, tile, n):
-    """(B, 3T, C) per-block window cotangents -> (N, C) overlap-add."""
-    n_blk = slabs.shape[0]
-    c = slabs.shape[-1]
-    parts = slabs.reshape(n_blk, 3, tile, c)
-    z = jnp.zeros((1, tile, c), slabs.dtype)
-    prev = jnp.concatenate([parts[1:, 0], z])  # block b+1's "prev" slab -> rows of b
-    cur = parts[:, 1]
-    nxt = jnp.concatenate([z, parts[:-1, 2]])  # block b-1's "next" slab
-    return (prev + cur + nxt).reshape(n_blk * tile, c)
+def _fold_windows_T(slabs, tile, n):
+    """(B, C, 3T) per-block window cotangents -> (N, C) overlap-add
+    (done in the transposed layout; one final moveaxis)."""
+    n_blk, c = slabs.shape[0], slabs.shape[1]
+    parts = slabs.reshape(n_blk, c, 3, tile)
+    z = jnp.zeros((1, c, tile), slabs.dtype)
+    prev = jnp.concatenate([parts[1:, :, 0], z])  # block b+1's "prev" slab
+    cur = parts[:, :, 1]
+    nxt = jnp.concatenate([z, parts[:-1, :, 2]])  # block b-1's "next" slab
+    summed = prev + cur + nxt  # (B, C, T)
+    return jnp.moveaxis(summed, -1, -2).reshape(n_blk * tile, c)
 
 
 def _banded_aggregate_bwd(compute_dtype, vma, res, gout):
@@ -309,39 +333,41 @@ def _banded_aggregate_bwd(compute_dtype, vma, res, gout):
     w_flat = w.reshape(heads * c_in, c_out)
     if vma is not None:
         w_flat = jax.lax.pcast(w_flat, tuple(vma), to='varying')
-    r_blk = r.reshape(n_blk, tile, heads)
-    pt = jnp.moveaxis(_pad_blocks(p, tile), -1, -2)
-    xb = _pad_blocks(x, tile)
-    g_blk = gout.reshape(n_blk, tile, c_out).astype(jnp.float32)
+    rt = jnp.moveaxis(r.reshape(n_blk, tile, heads), -1, -2)
+    pt = _pad_blocks_T(p, tile)
+    xt = _pad_blocks_T(x, tile)
+    gt = jnp.moveaxis(
+        gout.reshape(n_blk, tile, c_out).astype(jnp.float32), -1, -2
+    )  # (B, C_out, T)
 
     rbar, pbar, xbar, wbar = pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, compute_dtype=compute_dtype),
         grid=(n_blk,),
         in_specs=_specs(n_blk, tile, heads, c_in, c_out, True),
         out_specs=(
-            pl.BlockSpec((1, tile, heads), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, tile), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, heads, win), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, win, c_in), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in, win), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             # per-block W̄ slabs, reduced in XLA: a revisited accumulator
             # block would serialize the grid pipeline
             pl.BlockSpec((1, heads * c_in, c_out), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            _sds((n_blk, tile, heads), vma),
+            _sds((n_blk, heads, tile), vma),
             _sds((n_blk, heads, win), vma),
-            _sds((n_blk, win, c_in), vma),
+            _sds((n_blk, c_in, win), vma),
             _sds((n_blk, heads * c_in, c_out), vma),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(r_blk, pt, pt, pt, xb, xb, xb, m, w_flat, g_blk)
+    )(rt, pt, pt, pt, xt, xt, xt, m, w_flat, gt)
 
-    dr = rbar.reshape(n, heads)
-    dp = _fold_windows(jnp.moveaxis(pbar, 1, 2), tile, n)  # (N, H)
-    dx = _fold_windows(xbar, tile, n)  # (N, C_in)
+    dr = jnp.moveaxis(rbar, -1, -2).reshape(n, heads)
+    dp = _fold_windows_T(pbar, tile, n)  # (N, H)
+    dx = _fold_windows_T(xbar, tile, n)  # (N, C_in)
     dm = np.zeros(m.shape, jax.dtypes.float0)  # int mask: no cotangent
     dw = wbar.sum(axis=0).reshape(heads, c_in, c_out)
     if vma is not None:

@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from geobignn_tpu.ops.banded_pallas import _interpret, _rwide, _xpw_all
+from geobignn_tpu.ops.banded_pallas import _interpret, _rwide_T, _xpw_T
 from geobignn_tpu.structs import round_up
 
 def bs_tile() -> int:
@@ -128,51 +128,63 @@ def _parse(args, k: int, n_out: int):
     return r_ref, pts, xs, rest, outs
 
 
-def _window_ops(r_ref, pts, xs, m_ref):
-    r = r_ref[0]  # (T, H)
+def _window_ops_T(rt_ref, pts, xts, m_ref):
+    rt = rt_ref[0]  # (H, T)
     pw = jnp.concatenate([p[0] for p in pts], axis=-1)  # (H, W)
-    xw = jnp.concatenate([x[0] for x in xs], axis=0)  # (W, C)
+    xwt = jnp.concatenate([x[0] for x in xts], axis=-1)  # (C, W)
     mf = m_ref[0].astype(jnp.float32)  # (T, W)
     d = jax.lax.dot_general(
-        r, pw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rt, pw, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    return r, pw, xw, mf, d
+    return rt, pw, xwt, mf, d
 
 
 def _fwd_kernel(*args, k: int, heads: int, compute_dtype):
-    r_ref, pts, xs, (m_ref, w_ref), (out_ref,) = _parse(args, k, 1)
-    r, pw, xw, mf, d = _window_ops(r_ref, pts, xs, m_ref)
-    c_in = xw.shape[1]
+    rt_ref, pts, xts, (m_ref, w_ref), (out_ref,) = _parse(args, k, 1)
+    rt, pw, xwt, mf, d = _window_ops_T(rt_ref, pts, xts, m_ref)
+    c_in = xwt.shape[0]
     minv = (mf / jnp.maximum(d, 1e-12)).astype(compute_dtype)
-    xpw = _xpw_all(pw, xw, heads, compute_dtype)  # (W, H*C)
-    z = jnp.dot(minv, xpw, preferred_element_type=jnp.float32)  # (T, H*C)
-    zr = (z * _rwide(r, c_in, heads)).astype(compute_dtype)
+    xpwT = _xpw_T(pw, xwt, heads, compute_dtype)  # (H*C, W)
+    zT = jax.lax.dot_general(  # (H*C, T)
+        xpwT, minv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    zrT = (zT * _rwide_T(rt, c_in, heads)).astype(compute_dtype)
     w_flat = w_ref[:].astype(compute_dtype)
-    out_ref[0] = jnp.dot(zr, w_flat, preferred_element_type=jnp.float32)
+    out_ref[0] = jax.lax.dot_general(  # (C_out, T)
+        w_flat, zrT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _bwd_kernel(*args, k: int, heads: int, compute_dtype):
-    (r_ref, pts, xs, (m_ref, w_ref, gout_ref),
+    (rt_ref, pts, xts, (m_ref, w_ref, gt_ref),
      (rbar_ref, pbar_ref, xbar_ref, wbar_ref)) = _parse(args, k, 4)
-    r, pw, xw, mf, d = _window_ops(r_ref, pts, xs, m_ref)
-    c_in = xw.shape[1]
-    gout = gout_ref[0]
+    rt, pw, xwt, mf, d = _window_ops_T(rt_ref, pts, xts, m_ref)
+    c_in = xwt.shape[0]
+    gt = gt_ref[0]  # (C_out, T)
 
     dinv = 1.0 / jnp.maximum(d, 1e-12)
     minv = mf * dinv
     minv_c = minv.astype(compute_dtype)
     mdd = jnp.where(d > 1e-12, -minv * dinv, 0.0)
 
-    xpw = _xpw_all(pw, xw, heads, compute_dtype)
-    r_wide = _rwide(r, c_in, heads)
-    gout_c = gout.astype(compute_dtype)
+    xpwT = _xpw_T(pw, xwt, heads, compute_dtype)  # (HC, W)
+    rwT = _rwide_T(rt, c_in, heads)  # (HC, T)
+    gt_c = gt.astype(compute_dtype)
     w_flat = w_ref[:].astype(compute_dtype)
 
-    z = jnp.dot(minv_c, xpw, preferred_element_type=jnp.float32)
-    gy = jnp.dot(gout_c, w_flat.T, preferred_element_type=jnp.float32)
-    zr = (z * r_wide).astype(compute_dtype)
+    zT = jax.lax.dot_general(
+        xpwT, minv_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gyT = jax.lax.dot_general(
+        w_flat, gt_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    zrT = (zT * rwT).astype(compute_dtype)
     wbar_ref[0] = jax.lax.dot_general(
-        zr, gout_c, (((0,), (0,)), ((), ())),
+        zrT, gt_c, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -180,36 +192,37 @@ def _bwd_kernel(*args, k: int, heads: int, compute_dtype):
     blk_rows = jax.lax.broadcasted_iota(jnp.int32, (hc, heads), 0) // c_in
     blk_cols = jax.lax.broadcasted_iota(jnp.int32, (hc, heads), 1)
     ones_blk = (blk_rows == blk_cols).astype(compute_dtype)
-    rbar_direct = jnp.dot(
-        (gy * z).astype(compute_dtype), ones_blk,
+    gz = (gyT * zT).astype(compute_dtype)
+    rbar_direct = jax.lax.dot_general(  # (H, T)
+        ones_blk, gz, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    ybar = (gy * r_wide).astype(compute_dtype)
-    a = jax.lax.dot_general(
-        minv_c, ybar, (((0,), (0,)), ((), ())),
+    ybarT = (gyT * rwT).astype(compute_dtype)
+    aT = jax.lax.dot_general(  # (HC, W)
+        ybarT, minv_c, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    xbar = jnp.zeros((xw.shape[0], c_in), jnp.float32)
+    xbarT = jnp.zeros((c_in, xpwT.shape[1]), jnp.float32)
     pbar_rows = []
     for h in range(heads):
-        a_h = a[:, h * c_in : (h + 1) * c_in]
-        xbar = xbar + pw[h][:, None] * a_h
-        pbar_rows.append((a_h * xw).sum(axis=1)[None, :])
+        a_h = aT[h * c_in : (h + 1) * c_in]
+        xbarT = xbarT + pw[h][None, :] * a_h
+        pbar_rows.append((a_h * xwt).sum(axis=0)[None, :])
 
-    kd = jax.lax.dot_general(
-        ybar, xpw, (((1,), (1,)), ((), ())),
+    kd = jax.lax.dot_general(  # (T, W)
+        ybarT, xpwT, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dbar = mdd * kd
     rbar_d = jax.lax.dot_general(
-        dbar, pw, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        pw, dbar, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     rbar_ref[0] = rbar_direct + rbar_d
     pbar_ref[0] = jnp.concatenate(pbar_rows, axis=0) + jax.lax.dot_general(
-        r, dbar, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rt, dbar, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    xbar_ref[0] = xbar
+    xbar_ref[0] = xbarT
 
 
 def _specs(k, tile, heads, c_in, c_out, with_gout: bool):
@@ -221,12 +234,12 @@ def _specs(k, tile, heads, c_in, c_out, with_gout: bool):
     def at(j):
         return lambda b, idx: (idx[b, j], 0, 0)
 
-    ins = [pl.BlockSpec((1, tile, heads), own, memory_space=v)]  # r
+    ins = [pl.BlockSpec((1, heads, tile), own, memory_space=v)]  # rT
     ins += [
         pl.BlockSpec((1, heads, tile), at(j), memory_space=v) for j in range(k)
     ]
     ins += [
-        pl.BlockSpec((1, tile, c_in), at(j), memory_space=v) for j in range(k)
+        pl.BlockSpec((1, c_in, tile), at(j), memory_space=v) for j in range(k)
     ]
     ins.append(pl.BlockSpec((1, tile, k * tile), own, memory_space=v))  # mask
     ins.append(
@@ -234,7 +247,7 @@ def _specs(k, tile, heads, c_in, c_out, with_gout: bool):
                      memory_space=v)
     )
     if with_gout:
-        ins.append(pl.BlockSpec((1, tile, c_out), own, memory_space=v))
+        ins.append(pl.BlockSpec((1, c_out, tile), own, memory_space=v))
     return ins
 
 
@@ -296,16 +309,16 @@ def _call_fwd(r, p, x, w, m, blk_idx, compute_dtype):
     heads = r.shape[1]
     c_out = w.shape[2]
     w_flat = w.reshape(heads * c_in, c_out)
-    r_blk = r.reshape(n_blk, tile, heads)
+    rt = jnp.moveaxis(r.reshape(n_blk, tile, heads), -1, -2)  # (B, H, T)
     pt = jnp.moveaxis(p.reshape(n_blk, tile, heads), -1, -2)  # (B, H, T)
-    xb = x.reshape(n_blk, tile, c_in)
+    xt = jnp.moveaxis(x.reshape(n_blk, tile, c_in), -1, -2)  # (B, C, T)
     flops = int(2 * n * win * (heads * (c_in + 1) + heads * c_out / 3))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blk,),
         in_specs=_specs(k, tile, heads, c_in, c_out, False),
         out_specs=pl.BlockSpec(
-            (1, tile, c_out), lambda b, idx: (b, 0, 0),
+            (1, c_out, tile), lambda b, idx: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -314,7 +327,7 @@ def _call_fwd(r, p, x, w, m, blk_idx, compute_dtype):
             _fwd_kernel, k=k, heads=heads, compute_dtype=compute_dtype
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blk, tile, c_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_blk, c_out, tile), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=m.size + (2 * k + 1) * x.size * 4,
             transcendentals=0,
@@ -323,19 +336,22 @@ def _call_fwd(r, p, x, w, m, blk_idx, compute_dtype):
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(blk_idx, r_blk, *([pt] * k), *([xb] * k), m, w_flat)
-    return out.reshape(n, c_out)
+    )(blk_idx, rt, *([pt] * k), *([xt] * k), m, w_flat)
+    return jnp.moveaxis(out, -1, -2).reshape(n, c_out)
 
 
 def _bs_fwd(r, p, x, w, m, blk_idx, compute_dtype):
     return _call_fwd(r, p, x, w, m, blk_idx, compute_dtype), (r, p, x, w, m, blk_idx)
 
 
-def _fold_blocks(slabs, blk_idx, n_blk, tile, n):
-    """(B, K*T, C) per-row-block window cotangents -> (N, C): block-granular
+def _fold_blocks_T(slabs, blk_idx, n_blk, tile, n):
+    """(B, C, K*T) per-row-block window cotangents -> (N, C): block-granular
     segment-sum over the column-block ids (padded slots carry exact zeros)."""
-    c = slabs.shape[-1]
-    flat = slabs.reshape(-1, tile, c)  # (B*K, T, C)
+    b, c, win = slabs.shape
+    k = win // tile
+    flat = jnp.moveaxis(
+        slabs.reshape(b, c, k, tile), 1, -1
+    ).reshape(-1, tile, c)  # (B*K, T, C)
     out = jax.ops.segment_sum(
         flat, blk_idx.reshape(-1), num_segments=n_blk
     )  # (B, T, C)
@@ -350,21 +366,23 @@ def _bs_bwd(compute_dtype, res, gout):
     heads = r.shape[1]
     c_out = w.shape[2]
     w_flat = w.reshape(heads * c_in, c_out)
-    r_blk = r.reshape(n_blk, tile, heads)
+    rt = jnp.moveaxis(r.reshape(n_blk, tile, heads), -1, -2)
     pt = jnp.moveaxis(p.reshape(n_blk, tile, heads), -1, -2)
-    xb = x.reshape(n_blk, tile, c_in)
-    g_blk = gout.reshape(n_blk, tile, c_out).astype(jnp.float32)
+    xt = jnp.moveaxis(x.reshape(n_blk, tile, c_in), -1, -2)
+    gt = jnp.moveaxis(
+        gout.reshape(n_blk, tile, c_out).astype(jnp.float32), -1, -2
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blk,),
         in_specs=_specs(k, tile, heads, c_in, c_out, True),
         out_specs=(
-            pl.BlockSpec((1, tile, heads), lambda b, idx: (b, 0, 0),
+            pl.BlockSpec((1, heads, tile), lambda b, idx: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, heads, win), lambda b, idx: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, win, c_in), lambda b, idx: (b, 0, 0),
+            pl.BlockSpec((1, c_in, win), lambda b, idx: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, heads * c_in, c_out), lambda b, idx: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -376,20 +394,20 @@ def _bs_bwd(compute_dtype, res, gout):
         ),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_blk, tile, heads), jnp.float32),
+            jax.ShapeDtypeStruct((n_blk, heads, tile), jnp.float32),
             jax.ShapeDtypeStruct((n_blk, heads, win), jnp.float32),
-            jax.ShapeDtypeStruct((n_blk, win, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((n_blk, c_in, win), jnp.float32),
             jax.ShapeDtypeStruct((n_blk, heads * c_in, c_out), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(blk_idx, r_blk, *([pt] * k), *([xb] * k), m, w_flat, g_blk)
+    )(blk_idx, rt, *([pt] * k), *([xt] * k), m, w_flat, gt)
 
-    dr = rbar.reshape(n, heads)
-    dp = _fold_blocks(jnp.moveaxis(pbar, 1, 2), blk_idx, n_blk, tile, n)
-    dx = _fold_blocks(xbar, blk_idx, n_blk, tile, n)
+    dr = jnp.moveaxis(rbar, -1, -2).reshape(n, heads)
+    dp = _fold_blocks_T(pbar, blk_idx, n_blk, tile, n)
+    dx = _fold_blocks_T(xbar, blk_idx, n_blk, tile, n)
     dm = np.zeros(m.shape, jax.dtypes.float0)
     dik = np.zeros(blk_idx.shape, jax.dtypes.float0)
     dw = wbar.sum(axis=0).reshape(heads, c_in, c_out)
