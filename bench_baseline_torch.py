@@ -190,7 +190,22 @@ def messages_per_step(b) -> int:
 
 
 if __name__ == "__main__":
-    r = run_baseline()
+    import os
+    import sys
+
+    subdiv = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    r = run_baseline(subdiv=subdiv, steps=steps)
     print(json.dumps(r))
-    with open("BENCH_BASELINE.json", "w") as f:
-        json.dump(r, f, indent=2)
+    # multi-entry cache keyed by faces (bench.py reads {"entries": [...]};
+    # the legacy single-entry format is still accepted there)
+    path = "BENCH_BASELINE.json"
+    entries = []
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        entries = old.get("entries", [old] if "faces" in old else [])
+    entries = [e for e in entries if e.get("faces") != r["faces"]] + [r]
+    with open(path, "w") as f:
+        json.dump({"entries": sorted(entries, key=lambda e: e["faces"])}, f,
+                  indent=2)

@@ -1,0 +1,63 @@
+"""Halo scaling-efficiency report (BASELINE.json >=80% target).
+
+Builds the halo sharding for bench-scale meshes at several partition
+counts, extracts the REAL per-step communication volume (host-side fact:
+the all_to_all send buffers are precomputed index tables), and combines it
+with the measured single-chip compute rate (bench.py step_tflops) and the
+v5e ICI model in parallel/accounting.py into efficiency bounds.
+
+Run: python examples/halo_scaling_report.py       (host-only, no TPU)
+Output: docs/halo_scaling.json + a markdown table on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from geobignn_tpu.data.builder import BuildConfig
+    from geobignn_tpu.data import synth
+    from geobignn_tpu.parallel import accounting
+    from geobignn_tpu.parallel.halo_train import build_halo_train_sample
+
+    rows = []
+    # step_ms = MEASURED single-chip batch-1 training-step time:
+    # 7.62 ms at 20k faces (examples/bench_dynamic.py 'static' row),
+    # 278 ms at 327k faces (bench.py BENCH_SUBDIV=7: 18.4e6 msgs / 66.2e6)
+    for subdiv, parts_list, step_ms in ((5, (4, 8, 16), 7.62),
+                                        (7, (8, 16, 32), 278.0)):
+        m_o = synth.icosphere(subdiv)
+        m_n = synth.add_noise(m_o, 0.2, seed=0)
+        bc = BuildConfig(granularity=256, reorder=False)
+        for p in parts_list:
+            hs = build_halo_train_sample(m_n, m_o, bc, n_parts=p, seed=0)
+            rep = accounting.halo_comm_report(
+                hs.structure, step_ms_single_chip=step_ms,
+            )
+            rep.update(faces=m_n.n_faces, subdiv=subdiv)
+            del rep["per_conv"]
+            rows.append(rep)
+            print(
+                f"faces={m_n.n_faces:>7} P={p:>2}  payload "
+                f"{rep['step_payload_mb']:7.2f} MB/step (real "
+                f"{rep['step_real_mb']:6.2f})  t_comm {rep['t_comm_ms']:6.3f} ms  "
+                f"t_comp {rep['t_compute_ms']:6.3f} ms  eff(padded) "
+                f"{100 * rep['efficiency_no_overlap']:5.1f}%  eff(real-cut) "
+                f"{100 * rep['efficiency_real_cut']:5.1f}%",
+                flush=True,
+            )
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "halo_scaling.json")
+    with open(out_path, "w") as f:
+        json.dump(rows, f, indent=2)
+    print("->", out_path)
+
+
+if __name__ == "__main__":
+    main()
