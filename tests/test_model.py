@@ -98,6 +98,7 @@ def test_error_n_analytic():
     assert float(e) == pytest.approx(45.0, abs=1e-4)  # mean(90, 0)
 
 
+@pytest.mark.slow
 def test_cross_domain_gradients(model_out):
     """Normal loss must backprop through the facet rebuild into the vertex
     branch (joint training property, reference network.py:334-337)."""
@@ -160,6 +161,7 @@ def test_trash_lane_stays_zero(model_out):
     assert np.abs(np.asarray(feat_f)[mask_f == 0]).max() == 0.0
 
 
+@pytest.mark.slow
 def test_bf16_compute_mode(sample_and_plan):
     """bf16 activations produce finite outputs close to the f32 path."""
     sample, plan = sample_and_plan

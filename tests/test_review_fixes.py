@@ -40,6 +40,7 @@ def test_weight_decay_training_step():
     tr.fit()  # one epoch end-to-end
 
 
+@pytest.mark.slow
 def test_tiny_mesh_builds():
     """Octahedron (6 verts) coarsens to singletons before pool_step rounds
     complete; identity-padded clusters must keep the sample buildable."""
