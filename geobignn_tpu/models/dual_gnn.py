@@ -28,6 +28,23 @@ from geobignn_tpu.structs import BranchGraph, DualSample, GraphLevel, PoolStep
 
 LEAKY_SLOPE = 0.2  # reference uses F.leaky_relu(x, 0.2) throughout
 
+# Canonical conv channel schedule of one GNNModule branch, in call order:
+# (param name, level index 0/1/2, c_in, c_out).  c_in None = branch input
+# width (6 for the vertex branch, 12 for the facet branch).  Consumed by
+# parallel/accounting.py (comm-volume model) and pinned against the real
+# initialized parameter shapes in tests/test_accounting.py so it cannot
+# silently drift from the module below.
+CONV_SCHEDULE = (
+    ("l_conv1", 0, None, 32),
+    ("l_conv2", 1, 32, 64),
+    ("l_conv3", 2, 64, 128),
+    ("l_conv4", 2, 128, 128),
+    ("r_conv1", 1, 128, 64),
+    ("r_conv2", 1, 128, 64),
+    ("r_conv3", 0, 64, 32),
+    ("r_conv4", 0, 64, 32),
+)
+
 
 def _steer_init(scale=0.1):
     def init(key, shape, dtype=jnp.float32):

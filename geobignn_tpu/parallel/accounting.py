@@ -29,11 +29,12 @@ import numpy as np
 # number (20% of raw), exposed as a parameter.
 DEFAULT_ICI_GBPS = 40.0
 
-# conv channel schedule of one GNNModule branch: (level, C_in, C_out)
-_CONV_SCHEDULE = [
-    (0, None, 32), (1, 32, 64), (2, 64, 128), (2, 128, 128),
-    (1, 128, 64), (1, 128, 64), (0, 64, 32), (0, 64, 32),
-]
+# conv channel schedule of one GNNModule branch, imported from the model
+# definition itself (pinned to initialized param shapes in
+# tests/test_accounting.py) so the comm model cannot drift from the net
+from geobignn_tpu.models.dual_gnn import CONV_SCHEDULE as _MODEL_SCHEDULE
+
+_CONV_SCHEDULE = [(lvl, c_in, c_out) for _, lvl, c_in, c_out in _MODEL_SCHEDULE]
 
 
 @dataclasses.dataclass

@@ -59,6 +59,8 @@ def _masked_crc(data: bytes) -> int:
 # --------------------------------------------------------------------------
 
 def _varint(n: int) -> bytes:
+    if n < 0:  # protobuf int64: two's-complement 10-byte encoding
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F

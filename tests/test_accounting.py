@@ -39,6 +39,32 @@ def test_report_consistency():
     assert abs(rep["per_conv"][0]["real_mb"] - expect_real) < 1e-9
 
 
+def test_conv_schedule_matches_model_params():
+    """CONV_SCHEDULE (the comm model's channel widths) is pinned to the
+    REAL initialized GNNModule parameter shapes, so accounting cannot
+    silently drift if the model's widths change."""
+    import jax
+
+    from geobignn_tpu.data.builder import build_dual_sample
+    from geobignn_tpu.models.dual_gnn import CONV_SCHEDULE, GNNModule
+
+    m_o = synth.icosphere(2)
+    m_n = synth.add_noise(m_o, 0.2, seed=0)
+    sample, _ = build_dual_sample(m_n, m_o, BuildConfig())
+    mod = GNNModule()
+    params = jax.eval_shape(
+        lambda: mod.init(jax.random.PRNGKey(0), sample.v, sample.v.x)
+    )["params"]
+
+    c0 = sample.v.x.shape[1]
+    assert set(params) == {name for name, *_ in CONV_SCHEDULE}
+    for name, _, c_in, c_out in CONV_SCHEDULE:
+        want_in = c0 if c_in is None else c_in
+        h, win, wout = params[name]["w"].shape
+        assert (win, wout) == (want_in, c_out), name
+        assert params[name]["u"].shape[0] == want_in, name
+
+
 def test_comm_grows_sublinearly_with_parts():
     """Doubling P should much-less-than-double the REAL cut bytes (surface
     vs volume); the padded payload may grow faster (max-pair padding)."""

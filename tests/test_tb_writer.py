@@ -15,6 +15,18 @@ def test_crc32c_vectors():
     assert tb.crc32c(b"\x00" * 32) == 0x8A9136AA
 
 
+def test_varint_negative_terminates():
+    """protobuf int64 encodes negatives as 10-byte two's complement; the
+    naive n >>= 7 loop would never terminate for n < 0."""
+    enc = tb._varint(-1)
+    assert enc == b"\xff" * 9 + b"\x01"
+    # round-trip through the test-side decoder
+    val = 0
+    for i, b in enumerate(enc):
+        val |= (b & 0x7F) << (7 * i)
+    assert val == (1 << 64) - 1  # two's complement of -1
+
+
 def _read_records(path):
     out = []
     with open(path, "rb") as f:
