@@ -68,6 +68,39 @@ def update_positions(
     return jax.lax.fori_loop(0, n_iter, body, points)
 
 
+def _import_pinned(run_dir: str):
+    """Import the `geobignn_tpu` snapshot saved under `run_dir/code_bak`,
+    REPLACING the live package in sys.modules, and return its
+    infer.predict module — so inference always runs the training-time code
+    (reference: code/test_dual.py:127-128 `sys.path.insert(0, bak_dir)`).
+    Returns None when the run has no snapshot.  Process-global: after this
+    call, every `geobignn_tpu` import in this process resolves to the
+    snapshot (exactly the reference's semantics)."""
+    bak = os.path.abspath(os.path.join(run_dir, "code_bak"))
+    if not os.path.isdir(os.path.join(bak, "geobignn_tpu")):
+        return None
+    import importlib
+    import sys
+
+    live = {
+        m: sys.modules[m]
+        for m in list(sys.modules)
+        if m == "geobignn_tpu" or m.startswith("geobignn_tpu.")
+    }
+    for m in live:
+        del sys.modules[m]
+    sys.path.insert(0, bak)
+    try:
+        return importlib.import_module("geobignn_tpu.infer.predict")
+    except Exception:
+        # failed snapshot import must not leave a half-purged process
+        sys.path.remove(bak)
+        for m in [m for m in sys.modules if m.startswith("geobignn_tpu")]:
+            del sys.modules[m]
+        sys.modules.update(live)
+        raise
+
+
 class Predictor:
     """Loads a trained model and denoises meshes (whole or patch-stitched)."""
 
@@ -82,7 +115,25 @@ class Predictor:
         self._plan_cache: dict = {}
 
     @classmethod
-    def from_run(cls, run_dir: str, sub_size: int | None = None) -> "Predictor":
+    def from_run(
+        cls, run_dir: str, sub_size: int | None = None, pinned: bool = True
+    ) -> "Predictor":
+        """`pinned=True` (default, reference parity): when the run carries a
+        `code_bak` snapshot, the model/inference code is imported FROM the
+        snapshot, so predictions are immune to later edits of the installed
+        package (tests/test_infer.py::test_pinned_inference_uses_snapshot)."""
+        if pinned:
+            mod = _import_pinned(run_dir)
+            if mod is not None and mod.Predictor is not cls:
+                import inspect
+
+                kw = (  # snapshots from before this feature lack `pinned`
+                    {"pinned": False}
+                    if "pinned"
+                    in inspect.signature(mod.Predictor.from_run).parameters
+                    else {}
+                )
+                return mod.Predictor.from_run(run_dir, sub_size, **kw)
         cfg = Config.from_json(os.path.join(run_dir, "params.json"))
         path = os.path.join(run_dir, "ckpt_best.pkl")
         if not os.path.exists(path):

@@ -79,6 +79,62 @@ def test_predictor_stitched_matches_structure(trained):
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
 
 
+def test_pinned_inference_uses_snapshot(tmp_path, trained):
+    """from_run (pinned, the default) must run the run's code_bak snapshot,
+    not the live package — reference parity with test_dual.py:127-128.
+    Proof: a marker edit to the SNAPSHOT's model shows up in predictions,
+    while pinned=False (live code) is unaffected."""
+    import os
+    import shutil
+    import sys
+    import inspect
+
+    import geobignn_tpu
+    from geobignn_tpu.train.checkpoint import save_checkpoint
+
+    cfg, params, m_n, m_o = trained
+    run_dir = tmp_path / "run_pinned"
+    run_dir.mkdir()
+    cfg.to_json(str(run_dir / "params.json"))
+    save_checkpoint(str(run_dir / "ckpt_best.pkl"), params)
+
+    pkg_dir = os.path.dirname(os.path.abspath(geobignn_tpu.__file__))
+    bak_pkg = run_dir / "code_bak" / "geobignn_tpu"
+    shutil.copytree(
+        pkg_dir, bak_pkg, ignore=shutil.ignore_patterns("__pycache__", "*.pyc")
+    )
+    # marker edit in the SNAPSHOT only: DualGNN returns constant positions
+    snap_model = bak_pkg / "models" / "dual_gnn.py"
+    src = snap_model.read_text()
+    assert "return vert_p, norm_p" in src
+    snap_model.write_text(
+        src.replace("return vert_p, norm_p", "return vert_p * 0.0 + 7.25, norm_p")
+    )
+
+    saved_mods = {
+        m: sys.modules[m]
+        for m in list(sys.modules)
+        if m == "geobignn_tpu" or m.startswith("geobignn_tpu.")
+    }
+    saved_path = list(sys.path)
+    try:
+        pred = Predictor.from_run(str(run_dir))  # pinned by default
+        assert str(bak_pkg) in inspect.getfile(type(pred))
+        vp, _ = pred.predict_mesh(m_n)
+        # pre-denormalize positions are the constant 7.25 -> all rows equal
+        assert np.abs(vp - vp[:1]).max() < 1e-5
+    finally:
+        for m in [m for m in sys.modules if m.startswith("geobignn_tpu")]:
+            del sys.modules[m]
+        sys.modules.update(saved_mods)
+        sys.path[:] = saved_path
+
+    live = Predictor.from_run(str(run_dir), pinned=False)
+    assert type(live) is Predictor
+    vp_live, _ = live.predict_mesh(m_n)
+    assert np.abs(vp_live - vp_live[:1]).max() > 1e-3  # real predictions vary
+
+
 def test_predict_dir_and_eval(tmp_path, trained):
     cfg, params, m_n, m_o = trained
     # fabricate a run dir + test corpus
