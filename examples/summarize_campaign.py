@@ -29,12 +29,19 @@ def main():
         # by lexicographic name
     print(f"run: {run_dir}\n")
 
-    test_rows = []
+    test_rows, train_rows = [], []
     with open(os.path.join(run_dir, "metrics.jsonl")) as fh:
         for line in fh:
             r = json.loads(line)
             if r.get("split") == "test":
                 test_rows.append(r)
+            elif r.get("split") == "train":
+                train_rows.append(r)
+
+    eps = [r["edges_per_s"] for r in train_rows if r.get("edges_per_s")]
+    if eps:  # the north-star throughput metric, from production logs
+        print(f"train throughput: mean {sum(eps)/len(eps)/1e6:.1f}e6 edges/s "
+              f"(last {eps[-1]/1e6:.1f}e6) over {len(eps)} epochs\n")
 
     print("| epoch | eval error_f (deg) | eval error_v |")
     print("|---|---|---|")

@@ -251,6 +251,25 @@ def discover_mesh_pairs(
     return pairs
 
 
+def branch_messages(b: builder.RawBranch) -> int:
+    """Real (unpadded) FeaStConv edge messages per forward of one branch:
+    per-level conv counts from the model's CONV_SCHEDULE x the REAL edge
+    count at each U-Net level.  This is the numerator of the edges/s
+    north-star metric (BASELINE.json), computed identically to bench.py's
+    messages_per_step so production logs and bench numbers compare 1:1."""
+    from collections import Counter
+
+    from geobignn_tpu.models.dual_gnn import CONV_SCHEDULE
+
+    per_lvl = Counter(lvl for _, lvl, _, _ in CONV_SCHEDULE)
+    e = (
+        b.edge_index.shape[1],
+        b.specs[0].edge_index.shape[1],
+        b.specs[1].edge_index.shape[1],
+    )
+    return sum(per_lvl[l] * e[l] for l in range(3))
+
+
 class BaseDualDataset:
     """Entries + shared SizePlan/TableWidths + padding-on-get (common
     machinery).  `get` attaches the dense neighbor tables (ops/table.py)
@@ -315,6 +334,17 @@ class BaseDualDataset:
 
     def __len__(self) -> int:
         return len(self.entries)
+
+    def messages_per_sample(self) -> np.ndarray:
+        """(n_entries,) int64 real conv edge-messages per training forward
+        (both branches) — lets trainers log edges/s per epoch."""
+        return np.asarray(
+            [
+                branch_messages(bv) + branch_messages(bf)
+                for bv, bf, _, _, _ in self.entries
+            ],
+            dtype=np.int64,
+        )
 
     def get(self, idx: int, plan: structs.SizePlan | None = None) -> structs.DualSample:
         bv, bf, meta, _, _ = self.entries[idx]

@@ -74,6 +74,9 @@ def build_halo_train_sample(
         bf.edge_index, bf.edge_weight, meta["fv_indices"], bf.specs,
         granularity=granularity, banded=banded,
     )
+    from geobignn_tpu.data.dataset import branch_messages
+
+    meta["messages"] = branch_messages(bv) + branch_messages(bf)
     sh_v, sh_f = hd.v.levels[0], hd.f.levels[0]
     arrays = dict(
         d=hm.dual_device_arrays(hd),

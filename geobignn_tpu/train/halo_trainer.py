@@ -126,7 +126,7 @@ class HaloTrainer:
     def run_epoch(self, rng: np.random.Generator,
                   logger: MetricLogger | None = None):
         order = rng.permutation(len(self.samples))
-        agg, n = {}, 0
+        agg, n, msgs_done = {}, 0, 0
         t0 = time.time()
         for i in order:
             s, a = self.samples[int(i)], self._device_arrays[int(i)]
@@ -138,8 +138,13 @@ class HaloTrainer:
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
             n += 1
+            msgs_done += int(s.meta.get("messages", 0))
         agg = {k: v / max(n, 1) for k, v in agg.items()}
-        agg["samples_per_s"] = n / max(time.time() - t0, 1e-9)
+        dt = max(time.time() - t0, 1e-9)
+        agg["samples_per_s"] = n / dt
+        if msgs_done:  # real (unpadded) conv messages -> the edges/s metric
+            agg["edges_per_s"] = msgs_done / dt
+            agg["edges_per_s_chip"] = msgs_done / dt / self.n_parts
         if logger:
             logger.log("train", self.epoch, **agg)
         return agg

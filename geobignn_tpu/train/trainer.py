@@ -95,6 +95,14 @@ class Trainer:
             )
         self.tx = optim.make_optimizer(cfg)
 
+        # real (unpadded) conv messages per sample: production runs log the
+        # edges/s north-star metric every epoch, not just bench.py
+        self._msgs = (
+            train_ds.messages_per_sample()
+            if hasattr(train_ds, "messages_per_sample")
+            else None
+        )
+
         sample0 = train_ds.get(0, self.plan)
         key = jax.random.PRNGKey(cfg.seed or 0)
         self.params = self.model.init(key, sample0)
@@ -255,7 +263,10 @@ class Trainer:
                 n_steps += 1
         jax.block_until_ready(self.params)
         agg = {k: float(v) / max(n_steps, 1) for k, v in m_acc.items()}
-        agg["samples_per_s"] = n_steps / max(time.time() - t0, 1e-9)
+        dt = max(time.time() - t0, 1e-9)
+        agg["samples_per_s"] = n_steps / dt
+        if self._msgs is not None:
+            agg["edges_per_s"] = float(self._msgs[order].sum()) / dt
         if logger:
             logger.log("train", self.epoch, **agg)
         return agg
@@ -289,12 +300,14 @@ class Trainer:
 
         order = rng.permutation(len(self.train_ds)).tolist()
         b = self._global_batch
-        agg, n_steps = {}, 0
+        agg, n_steps, msgs_done = {}, 0, 0
         t0 = time.time()
         for beg in range(0, len(order), b):
             chunk = order[beg : beg + b]
             while len(chunk) < b:  # wrap-around fill
                 chunk.append(order[(beg + len(chunk)) % len(order)])
+            if self._msgs is not None:
+                msgs_done += int(self._msgs[chunk].sum())
             batch = parallel.stack_samples(
                 [self.train_ds.get(int(i), self.plan) for i in chunk]
             )
@@ -306,7 +319,11 @@ class Trainer:
                 agg[k] = agg.get(k, 0.0) + float(v)
             n_steps += 1
         agg = {k: v / max(n_steps, 1) for k, v in agg.items()}
-        agg["samples_per_s"] = n_steps * b / max(time.time() - t0, 1e-9)
+        dt = max(time.time() - t0, 1e-9)
+        agg["samples_per_s"] = n_steps * b / dt
+        if self._msgs is not None:
+            agg["edges_per_s"] = msgs_done / dt
+            agg["edges_per_s_chip"] = msgs_done / dt / self.n_chips
         if logger:
             logger.log("train", self.epoch, **agg)
         return agg

@@ -86,6 +86,44 @@ def test_overfit_single_mesh():
     assert best <= first["error_f"]
 
 
+def test_edges_per_s_logged(tmp_path):
+    """Production runs must record the edges/s north-star metric per epoch
+    (not just bench.py), using REAL unpadded message counts that match the
+    bench accounting."""
+    import json
+
+    from geobignn_tpu.data.dataset import branch_messages
+    from geobignn_tpu.train.logging import MetricLogger
+
+    m_o = synth.icosphere(2)
+    m_n = synth.add_noise(m_o, 0.3, seed=5)
+    ds = InMemoryDataset([(m_n, m_o)], BuildConfig(granularity=64))
+
+    # same accounting as bench_baseline_torch.messages_per_step: 3/3/2
+    # convs per level x real edge counts
+    bv, bf = ds.entries[0][0], ds.entries[0][1]
+    for b in (bv, bf):
+        want = (
+            3 * b.edge_index.shape[1]
+            + 3 * b.specs[0].edge_index.shape[1]
+            + 2 * b.specs[1].edge_index.shape[1]
+        )
+        assert branch_messages(b) == want
+    assert ds.messages_per_sample()[0] == branch_messages(bv) + branch_messages(bf)
+
+    cfg = Config(max_epoch=2, lr=1e-3, seed=1, granularity=64, augment=False)
+    tr = Trainer(cfg, ds, ds)
+    logger = MetricLogger(str(tmp_path / "metrics.jsonl"))
+    tr.fit(logger)
+    logger.close()
+    rows = [
+        json.loads(line)
+        for line in (tmp_path / "metrics.jsonl").read_text().splitlines()
+    ]
+    train_rows = [r for r in rows if r["split"] == "train"]
+    assert train_rows and all(r["edges_per_s"] > 0 for r in train_rows)
+
+
 def test_lr_schedules():
     cfg = Config(lr=1.0, lr_decay=0.5, lr_step=(10,), lr_sch="lmd")
     assert lr_at_epoch(cfg, 0) == 1.0
