@@ -120,7 +120,10 @@ def worker() -> None:
     sample = attach_tables(union_batch([single] * batch_size), widths)
 
     cfg = Config(granularity=256)
-    model = DualGNN()
+    # GBN_FC_BF16=1: run the fc heads (dense matmuls, no scatters) in bf16
+    # — the measured before/after for docs/RESULTS.md
+    fc_dt = jnp.bfloat16 if os.environ.get("GBN_FC_BF16") == "1" else None
+    model = DualGNN(fc_dtype=fc_dt)
     # jit the init: eager flax init dispatches hundreds of tiny ops
     # individually over the tunneled TPU (~3 min measured, load-dependent)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), single)

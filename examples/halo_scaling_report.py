@@ -2,9 +2,12 @@
 
 Builds the halo sharding for bench-scale meshes at several partition
 counts, extracts the REAL per-step communication volume (host-side fact:
-the all_to_all send buffers are precomputed index tables), and combines it
+the exchange send buffers are precomputed index tables), and combines it
 with the measured single-chip compute rate (bench.py step_tflops) and the
-v5e ICI model in parallel/accounting.py into efficiency bounds.
+v5e ICI model in parallel/accounting.py into efficiency bounds.  The
+sparse per-pair exchange payload is compared against the real cut (lower
+bound) and the pre-sparse dense all_to_all (every pair padded to the
+global max cut).
 
 Run: python examples/halo_scaling_report.py       (host-only, no TPU)
 Output: docs/halo_scaling.json + a markdown table on stdout.
@@ -45,10 +48,12 @@ def main():
             print(
                 f"faces={m_n.n_faces:>7} P={p:>2}  payload "
                 f"{rep['step_payload_mb']:7.2f} MB/step (real "
-                f"{rep['step_real_mb']:6.2f})  t_comm {rep['t_comm_ms']:6.3f} ms  "
-                f"t_comp {rep['t_compute_ms']:6.3f} ms  eff(padded) "
+                f"{rep['step_real_mb']:6.2f}, dense-a2a "
+                f"{rep['step_dense_mb']:7.2f})  t_comm {rep['t_comm_ms']:6.3f} ms  "
+                f"t_comp {rep['t_compute_ms']:6.3f} ms  eff(sparse) "
                 f"{100 * rep['efficiency_no_overlap']:5.1f}%  eff(real-cut) "
-                f"{100 * rep['efficiency_real_cut']:5.1f}%",
+                f"{100 * rep['efficiency_real_cut']:5.1f}%  eff(dense) "
+                f"{100 * rep['efficiency_dense_a2a']:5.1f}%",
                 flush=True,
             )
 

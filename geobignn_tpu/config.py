@@ -38,6 +38,10 @@ class Config:
     edge_weight_type: int = 10
     pool_type: str = "max"
     heads: int = 9
+    fusion_features: int = 0  # >0: opt-in DualFusionLayer of this width
+    # over the vertex<->facet incidence, fused features concat'd onto both
+    # branch inputs (reference net_util.py:248-278 preserved as capability;
+    # this flag makes it trainable).  Single-chip / dp / dcn only.
     dynamic_pool: bool = False  # in-forward pooling (pool/dynamic.py):
     # exact reference parity for activation-dependent edge-weight types;
     # auto-enabled for the learned types 3-5, which static hierarchies
@@ -127,20 +131,24 @@ class Config:
                     "hierarchies; dynamic pooling (edge_weight_type 3-5) "
                     "is not available there"
                 )
-            if self.force_depth:
-                raise ValueError(
-                    "halo training does not implement the force_depth "
-                    "(Kinect) head yet — train Kinect_v1/v2 on the "
-                    "standard dp/gp path"
-                )
         if self.precision == "bfloat16" and (
             self.dynamic_pool or self.edge_weight_type in (3, 4, 5)
-            or (self.halo_parts and self.halo_parts > 1)
         ):
             raise ValueError(
-                "precision='bfloat16' is only plumbed through the standard "
-                "DualGNN path (dynamic pooling and halo training run f32)"
+                "precision='bfloat16' is not plumbed through dynamic "
+                "pooling (it runs f32)"
             )
+        if self.fusion_features:
+            if self.gp > 1 or (self.halo_parts and self.halo_parts > 1):
+                raise ValueError(
+                    "fusion_features: the DualFusionLayer aggregates over "
+                    "the full vertex<->facet incidence and is not "
+                    "partition-aware — use single-chip / dp / dcn"
+                )
+            if self.dynamic_pool or self.edge_weight_type in (3, 4, 5):
+                raise ValueError(
+                    "fusion_features is not available with dynamic pooling"
+                )
         if (self.dynamic_pool or self.edge_weight_type in (3, 4, 5)) and n_chips > 1:
             raise ValueError(
                 "dynamic pooling is single-chip only (dp/gp/dcn must be 1)"

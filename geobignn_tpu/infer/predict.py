@@ -108,7 +108,8 @@ class Predictor:
         self.cfg = cfg
         self.sub_size = sub_size or cfg.sub_size
         self.model = DualGNN(
-            force_depth=cfg.force_depth, pool_type=cfg.pool_type, heads=cfg.heads
+            force_depth=cfg.force_depth, pool_type=cfg.pool_type,
+            heads=cfg.heads, fusion=getattr(cfg, "fusion_features", 0),
         )
         self.params = params
         self._apply = jax.jit(self.model.apply)
@@ -220,7 +221,7 @@ class Predictor:
         bc = self.cfg.build_config()
         sample = ht.build_halo_train_sample(mesh_n, None, bc, n_parts,
                                             banded=banded)
-        fwd = ht.make_halo_forward(mesh, sample.arrays)
+        fwd = ht.make_halo_forward(mesh, sample.arrays, static_d=sample.static)
         p_flat = jax.tree.map(np.asarray, self.params["params"])
         arrays = jax.tree.map(jnp.asarray, sample.arrays)
         v_loc, n_loc = fwd(p_flat, arrays)

@@ -197,12 +197,22 @@ class DualGNN(nn.Module):
     pool_type: str = "max"
     heads: int = 9
     gp_axis: str | None = None
+    fusion: int = 0  # >0: run a DualFusionLayer of this width over the
+    # vertex<->facet incidence (sample.edge_dual_*) and CONCAT the fused
+    # features onto both branch inputs — the reference preserves the layer
+    # but never instantiates it (code/net_util.py:248-278, SURVEY C15);
+    # this makes it a usable opt-in mode (Config.fusion_features)
     compute_dtype: jnp.dtype = jnp.float32  # bf16 activations; f32 params,
     # residual/geometry (cross products, normalize) and losses stay f32.
     # NOTE (measured on v5e): keep the default — XLA's bf16 scatter-add path
     # is pathologically slow (3.3 s/step vs 0.98 ms at f32), and f32 matmuls
     # already ride bf16 MXU passes, so bf16 activations buy nothing here.
     # The mode exists for numerics experiments, not throughput.
+    fc_dtype: jnp.dtype | None = None  # override for the fc HEADS only
+    # (None -> compute_dtype).  The heads are dense (N,32)x(32,1024)x
+    # (1024,3) matmuls with no scatter in their path, so bf16 here dodges
+    # the scatter pathology above; parity-insensitive (params stay f32,
+    # outputs cast back).  Measured via GBN_FC_BF16=1 in bench.py.
 
     @nn.compact
     def __call__(self, sample: DualSample) -> tuple[jax.Array, jax.Array]:
@@ -215,18 +225,32 @@ class DualGNN(nn.Module):
         # recompute is two dense matmuls (~0.3 ms) — measured win in
         # bench.py.  nn.remat on a (module, x) function keeps the param
         # tree (fc_*1/fc_*2) unchanged.
+        fdt = self.fc_dtype or dt
+
         def head_v(mdl, feat):
-            h = act(nn.Dense(1024, dtype=dt, name="fc_v1")(feat))
+            h = act(nn.Dense(1024, dtype=fdt, name="fc_v1")(feat))
             out_dim = 1 if mdl.force_depth else 3
-            return nn.Dense(out_dim, dtype=dt, name="fc_v2")(h)
+            return nn.Dense(out_dim, dtype=fdt, name="fc_v2")(h)
 
         def head_f(mdl, feat):
-            h = act(nn.Dense(1024, dtype=dt, name="fc_f1")(feat))
-            return nn.Dense(3, dtype=dt, name="fc_f2")(h)
+            h = act(nn.Dense(1024, dtype=fdt, name="fc_f1")(feat))
+            return nn.Dense(3, dtype=fdt, name="fc_f2")(h)
 
+        h_v = h_f = None
+        if self.fusion:
+            from geobignn_tpu.models.fusion import DualFusionLayer
+
+            h_v, h_f = DualFusionLayer(self.fusion, name="fusion")(
+                sample.v.x, sample.f.x, sample
+            )
+        x_v_in = (
+            jnp.concatenate([sample.v.x, h_v], axis=1)
+            if h_v is not None
+            else sample.v.x
+        )
         feat_v = GNNModule(
             self.pool_type, self.heads, self.gp_axis, dt, name="gnn_v"
-        )(sample.v, sample.v.x)
+        )(sample.v, x_v_in)
         d = nn.remat(head_v)(self, feat_v).astype(jnp.float32)
         if self.force_depth:
             d = d * sample.v.depth_direction
@@ -243,7 +267,10 @@ class DualGNN(nn.Module):
         else:
             face_cent = vert_p[sample.fv_indices].mean(axis=1)
             face_norm = geometry.face_normals(vert_p, sample.fv_indices)
-        x_f = jnp.concatenate([sample.f.x, face_cent, face_norm], axis=1)
+        parts_f = [sample.f.x, face_cent, face_norm]
+        if h_f is not None:
+            parts_f.append(h_f)
+        x_f = jnp.concatenate(parts_f, axis=1)
 
         feat_f = GNNModule(
             self.pool_type, self.heads, self.gp_axis, dt, name="gnn_f"

@@ -12,9 +12,11 @@ reports the efficiency bound
     eff_no_overlap = T_compute / (T_compute + T_comm)
     eff_overlap    = T_compute / max(T_compute, T_comm)
 
-per conv and per step.  The exchange in halo_gnn_module is one
-`all_to_all` of the boundary buffer per conv (forward), and its transpose
-in backward — 2x the payload per conv per step.
+per conv and per step.  The exchange in halo_gnn_module is a sequence of
+edge-colored per-pair `ppermute` rounds per conv (forward), and its
+transpose in backward — 2x the payload per conv per step.  Each round is
+padded to its own max pair cut; the pre-sparse dense all_to_all (every
+pair padded to the GLOBAL max cut) is kept as a comparison column.
 """
 
 from __future__ import annotations
@@ -42,18 +44,30 @@ class ConvComm:
     name: str
     level: int
     c_in: int
-    payload_mb: float  # padded all_to_all payload leaving each chip (fwd)
+    payload_mb: float  # sparse per-round exchange payload per chip (fwd)
     real_mb: float  # real (non-trash) boundary rows only
+    dense_mb: float  # what the dense max-pair all_to_all would have moved
 
 
-def _level_halo(sh) -> tuple[int, int]:
-    """(padded send rows per chip, real send rows per chip mean)."""
-    p, _, h_pad = sh.send_idx.shape
+def _level_halo(sh) -> tuple[int, int, int]:
+    """(sparse padded rows, real rows, dense all_to_all-equivalent rows)
+    per exchange — each the MAX over chips (the slowest chip paces a
+    bulk-synchronous step).
+
+    Sparse = per-chip ROUND PARTICIPATION: a round's disjoint pairs ride
+    disjoint ICI links concurrently and a chip with no partner in a round
+    moves nothing, so chip p's wire time is the sum of h_c over only the
+    rounds it appears in.  Dense = every one of the P-1 pair buffers
+    padded to the global max pair cut (the pre-sparse scheme, kept as the
+    ablation comparison)."""
     trash = sh.n_loc - 1
-    real = (sh.send_idx != trash).sum(axis=(1, 2))  # per chip
-    # off-chip rows per chip: all (P-1) destination buffers
-    padded = (p - 1) * h_pad
-    return padded, int(real.mean())
+    real = (sh.send_idx != trash).sum(axis=1)  # per chip
+    part = np.zeros(sh.n_parts, np.int64)
+    for perm, h_c in sh.rounds:
+        for chip in {s for s, _ in perm}:  # perm holds both directions, so
+            part[chip] += h_c  # sources == participants of the round
+    dense = (sh.n_parts - 1) * max((h for _, h in sh.rounds), default=0)
+    return int(part.max()), int(real.max()), dense
 
 
 def halo_comm_report(
@@ -62,6 +76,7 @@ def halo_comm_report(
     c0_f: int = 12,
     step_ms_single_chip: float = 7.6,
     ici_gbps: float = DEFAULT_ICI_GBPS,
+    round_latency_us: float = 5.0,
 ) -> dict:
     """Per-conv and per-step comm volume + efficiency bounds.
 
@@ -73,43 +88,73 @@ def halo_comm_report(
     """
     p = hd.v.levels[0].send_idx.shape[0]
     convs: list[ConvComm] = []
+    n_rounds_step = 0
     for branch, tag, c0 in ((hd.v, "v", c0_v), (hd.f, "f", c0_f)):
         for i, (lvl, c_in, _) in enumerate(_CONV_SCHEDULE):
             ci = c0 if c_in is None else c_in
-            padded, real = _level_halo(branch.levels[lvl])
+            padded, real, dense = _level_halo(branch.levels[lvl])
+            n_rounds_step += len(branch.levels[lvl].rounds)
             convs.append(ConvComm(
                 name=f"{tag}_conv{i + 1}", level=lvl + 1, c_in=ci,
                 payload_mb=padded * ci * 4 / 1e6,
                 real_mb=real * ci * 4 / 1e6,
+                dense_mb=dense * ci * 4 / 1e6,
             ))
     # cross-domain corner gather: 3-coord positions, one exchange (+ bwd)
-    p_fv, _, h_fv = hd.send_fv.shape
-    fv_payload = (p_fv - 1) * h_fv * 3 * 4 / 1e6
-    convs.append(ConvComm("fv_gather", 1, 3, fv_payload, fv_payload))
+    fv_part = np.zeros(p, np.int64)
+    for perm, h_c in hd.fv_rounds:
+        for chip in {s for s, _ in perm}:
+            fv_part[chip] += h_c
+    trash_v = hd.v.levels[0].n_loc - 1
+    fv_real = (hd.send_fv != trash_v).sum(axis=1)
+    fv_dense = (p - 1) * max((h for _, h in hd.fv_rounds), default=0)
+    convs.append(ConvComm(
+        "fv_gather", 1, 3,
+        int(fv_part.max()) * 3 * 4 / 1e6,
+        int(fv_real.max()) * 3 * 4 / 1e6,
+        fv_dense * 3 * 4 / 1e6,
+    ))
 
     # fwd exchange + bwd transpose per conv
+    n_rounds_step = 2 * (n_rounds_step + len(hd.fv_rounds))
+    n_exchanges = 2 * len(convs)
     step_payload_mb = 2 * sum(c.payload_mb for c in convs)
     step_real_mb = 2 * sum(c.real_mb for c in convs)
+    step_dense_mb = 2 * sum(c.dense_mb for c in convs)
 
-    t_comm_ms = step_payload_mb / 1e3 / ici_gbps * 1e3
-    # real-cut time: what a sparse exchange (per-neighbor ppermute instead
-    # of the max-pair-padded all_to_all) would move
-    t_comm_real_ms = step_real_mb / 1e3 / ici_gbps * 1e3
+    # launch/hop latency: charged once per EXCHANGE, not per round — every
+    # round's send slice is computed before round 1 fires (one gather), so
+    # the DMAs issue back-to-back and their launch latencies pipeline;
+    # bytes stay additive.  round_latency_us is a parameter because it
+    # cannot be measured on one chip.
+    t_latency_ms = n_exchanges * round_latency_us / 1e3
+    t_comm_ms = step_payload_mb / 1e3 / ici_gbps * 1e3 + t_latency_ms
+    # the dense all_to_all is one collective per exchange: same launch
+    # latency; real-cut keeps it too (a zero-pad exchange still launches)
+    # real-cut bound: zero padding (per-pair exactly-sized buffers)
+    t_comm_real_ms = step_real_mb / 1e3 / ici_gbps * 1e3 + t_latency_ms
+    t_comm_dense_ms = step_dense_mb / 1e3 / ici_gbps * 1e3 + t_latency_ms
     t_comp_ms = step_ms_single_chip / p
     eff_no = t_comp_ms / (t_comp_ms + t_comm_ms)
     eff_ov = t_comp_ms / max(t_comp_ms, t_comm_ms)
     eff_real = t_comp_ms / (t_comp_ms + t_comm_real_ms)
+    eff_dense = t_comp_ms / (t_comp_ms + t_comm_dense_ms)
     return dict(
         n_parts=p,
         per_conv=[dataclasses.asdict(c) for c in convs],
         step_payload_mb=round(step_payload_mb, 3),
         step_real_mb=round(step_real_mb, 3),
+        step_dense_mb=round(step_dense_mb, 3),
         padding_overhead=round(step_payload_mb / max(step_real_mb, 1e-9), 2),
+        n_rounds_step=n_rounds_step,
+        t_latency_ms=round(t_latency_ms, 3),
         ici_gbps=ici_gbps,
         t_comm_ms=round(t_comm_ms, 3),
         t_comm_real_ms=round(t_comm_real_ms, 3),
+        t_comm_dense_ms=round(t_comm_dense_ms, 3),
         t_compute_ms=round(t_comp_ms, 3),
         efficiency_no_overlap=round(eff_no, 4),
         efficiency_overlapped=round(eff_ov, 4),
         efficiency_real_cut=round(eff_real, 4),
+        efficiency_dense_a2a=round(eff_dense, 4),
     )

@@ -133,6 +133,18 @@ def build_halo_branch(
     )
 
 
+def branch_static(hb: HaloBranch) -> dict:
+    """STATIC (non-array) exchange schedules per level — passed alongside
+    branch_device_arrays into the shard_map step (rounds are python tuples
+    baked into the traced program, not operands)."""
+    return {f"rounds{i}": sh.rounds for i, sh in enumerate(hb.levels)}
+
+
+def dual_static(hd: "HaloDual") -> dict:
+    return dict(v=branch_static(hd.v), f=branch_static(hd.f),
+                fv_rounds=hd.fv_rounds)
+
+
 def branch_device_arrays(hb: HaloBranch) -> dict:
     """The (P, ...) arrays a shard_map step consumes, as one dict pytree."""
     d = {}
@@ -172,34 +184,44 @@ def _pool_local(x, cl, n_out, pool_type="max"):
     return segment.segment_mean(x, cl, n_out)
 
 
-def halo_gnn_module(params, x_loc, d: dict, axis: str, pool_type: str = "max"):
+def halo_gnn_module(params, x_loc, d: dict, sd: dict, axis: str,
+                    pool_type: str = "max", compute_dtype=None):
     """Functional halo U-Net consuming models.GNNModule's param pytree
     (keys l_conv1..4, r_conv1..4).  `d` = branch_device_arrays slice for
-    this chip.  Returns (n_loc_l1, 32) local features."""
+    this chip; `sd` = branch_static (per-level exchange schedules).
+    `compute_dtype` (e.g. bf16) casts activations + conv params like
+    models.GNNModule; the halo paths are scatter-free, so bf16 avoids the
+    pathological XLA bf16 scatter-add documented in dual_gnn.py.
+    Returns (n_loc_l1, 32) local features."""
     import jax.numpy as jnp
     from flax import linen as nn
 
     from geobignn_tpu.models.dual_gnn import LEAKY_SLOPE
     from geobignn_tpu.ops.feastconv import FeastParams
 
+    dt = compute_dtype or jnp.float32
+    x_loc = x_loc.astype(dt)
+
     def fp(name):
         q = params[name]
-        return FeastParams(u=q["u"], c=q["c"], w=q["w"], b=q["b"])
+        return FeastParams(u=q["u"].astype(dt), c=q["c"].astype(dt),
+                           w=q["w"].astype(dt), b=q["b"].astype(dt))
 
     def conv(name, x, lvl):
+        rounds = sd[f"rounds{lvl}"]
         if f"band{lvl}" in d:  # banded Pallas + boundary-table correction
             return hp.halo_feast_conv_banded(
                 fp(name), x, d[f"band{lvl}"], d[f"deg{lvl}"], d[f"send{lvl}"],
-                axis, node_mask=d[f"mask{lvl}"],
+                axis, rounds, node_mask=d[f"mask{lvl}"],
             )
         if f"tab{lvl}" in d:  # scatter-free dense-table path (default)
             return hp.halo_feast_conv_table(
                 fp(name), x, d[f"tab{lvl}"], d[f"deg{lvl}"], d[f"send{lvl}"],
-                axis, node_mask=d[f"mask{lvl}"],
+                axis, rounds, node_mask=d[f"mask{lvl}"],
             )
         return hp.halo_feast_conv(
             fp(name), x, d[f"ei{lvl}"], d[f"deg{lvl}"], d[f"send{lvl}"], axis,
-            node_mask=d[f"mask{lvl}"],
+            rounds, node_mask=d[f"mask{lvl}"],
         )
 
     act = lambda v: nn.leaky_relu(v, LEAKY_SLOPE)
@@ -235,7 +257,8 @@ class HaloDual:
     v: HaloBranch
     f: HaloBranch
     fv_loc: np.ndarray  # (P, n_loc_f, 3) into [v local slots | fv halo bufs]
-    send_fv: np.ndarray  # (P, P, h_pad) vertex local slots sent per pair
+    send_fv: np.ndarray  # (P, h_total) vertex local slots sent, round-major
+    fv_rounds: tuple = ()  # static exchange schedule for the fv gather
     fv_rev: np.ndarray | None = None  # (P, n_ext_v, R) reverse table of fv_loc
     send_fv_rev: np.ndarray | None = None  # (P, n_loc_v, R_s) rev of send_fv
 
@@ -250,15 +273,15 @@ def build_gather_halo(
 ):
     """Halo structure for an arbitrary gather relation (e.g. face->vertex
     corners): per destination chip, the remote src rows it needs, as
-    send_idx (src side) + localized index table (dst side)."""
-    from geobignn_tpu.structs import round_up
-
+    send_idx (src side, round-major) + localized index table (dst side) +
+    the static `rounds` exchange schedule (same sparse per-pair scheme as
+    build_halo_sharding)."""
     p_cnt = sh_src.n_parts
     src_owner, src_slot = sh_src.owner, sh_src.slot_of
     m, k = indices.shape
 
     halo: list[list[np.ndarray]] = [[None] * p_cnt for _ in range(p_cnt)]
-    h_max = 1
+    cut = np.zeros((p_cnt, p_cnt), np.int64)
     for p in range(p_cnt):
         rows_p = owner_rows == p
         used = np.unique(indices[rows_p].reshape(-1))
@@ -268,18 +291,19 @@ def build_gather_halo(
                 continue
             remote = used[src_owner[used] == q]
             halo[p][q] = remote
-            h_max = max(h_max, remote.size)
-    h_pad = round_up(h_max, granularity)
+            cut[p, q] = remote.size
+    rounds, offset_of, h_total = hp.color_rounds(cut, granularity)
 
     trash_src = sh_src.n_loc - 1
-    send_idx = np.full((p_cnt, p_cnt, h_pad), trash_src, dtype=np.int32)
+    send_idx = np.full((p_cnt, h_total), trash_src, dtype=np.int32)
     pos: list[dict] = [dict() for _ in range(p_cnt)]
     for p in range(p_cnt):
         for q in range(p_cnt):
             nodes = halo[p][q]
             if nodes.size:
-                send_idx[q, p, : nodes.size] = src_slot[nodes]
-                base = sh_src.n_loc + q * h_pad
+                off = int(offset_of[p, q])
+                send_idx[q, off : off + nodes.size] = src_slot[nodes]
+                base = sh_src.n_loc + off
                 for j, g in enumerate(nodes):
                     pos[p][int(g)] = base + j
 
@@ -290,7 +314,7 @@ def build_gather_halo(
         for c in range(k):
             g = int(indices[r, c])
             table[p, s, c] = src_slot[g] if src_owner[g] == p else pos[p][g]
-    return table, send_idx
+    return table, send_idx, rounds
 
 
 def build_halo_dual(
@@ -309,7 +333,7 @@ def build_halo_dual(
                              banded=banded)
     hb_f = build_halo_branch(ei_f, w_f, n_f, specs_f, owner_f, granularity,
                              banded=banded)
-    fv_loc, send_fv = build_gather_halo(
+    fv_loc, send_fv, fv_rounds = build_gather_halo(
         fv_indices.astype(np.int64), owner_f,
         hb_f.levels[0].slot_of[:n_f].astype(np.int64),
         hb_f.levels[0].n_loc, hb_v.levels[0], granularity,
@@ -319,8 +343,8 @@ def build_halo_dual(
     # backward (same machinery as partition.halo_tables)
     p_cnt = fv_loc.shape[0]
     n_loc_v = hb_v.levels[0].n_loc
-    h_pad = send_fv.shape[-1]
-    n_ext_v = n_loc_v + p_cnt * h_pad
+    h_total = send_fv.shape[-1]
+    n_ext_v = n_loc_v + h_total
     src_mask = np.ones(n_ext_v, bool)
     src_mask[n_loc_v - 1] = False
     revs, rev_sends, r_max, rs_max = [], [], 1, 1
@@ -344,10 +368,11 @@ def build_halo_dual(
         [repad(r, r_max, fv_loc[0].size) for r in revs]
     )
     send_fv_rev = np.stack(
-        [repad(s, rs_max, p_cnt * h_pad) for s in rev_sends]
+        [repad(s, rs_max, h_total) for s in rev_sends]
     )
     return HaloDual(v=hb_v, f=hb_f, fv_loc=fv_loc, send_fv=send_fv,
-                    fv_rev=fv_rev, send_fv_rev=send_fv_rev)
+                    fv_rounds=fv_rounds, fv_rev=fv_rev,
+                    send_fv_rev=send_fv_rev)
 
 
 def dual_device_arrays(hd: HaloDual) -> dict:
@@ -363,30 +388,48 @@ def dual_device_arrays(hd: HaloDual) -> dict:
     return d
 
 
-def halo_dual_gnn(params, x_v_loc, x_f_loc, d: dict, axis: str,
-                  pool_type: str = "max"):
+def halo_dual_gnn(params, x_v_loc, x_f_loc, d: dict, sd: dict, axis: str,
+                  pool_type: str = "max", depth_direction=None,
+                  compute_dtype=None):
     """Full DualGNN forward over halo shards; consumes models.DualGNN's
-    parameter pytree.  Returns (vert_p_loc, norm_p_loc)."""
+    parameter pytree.  `sd` = dual_static(hd) exchange schedules.
+
+    `depth_direction` (n_loc_v, 3): the Kinect force_depth head
+    (reference code/network.py:326-332) — engaged when the checkpoint's
+    fc_v2 regresses 1 channel, the residual is then scalar * ray.
+    `compute_dtype`: bf16 runs U-Nets + fc heads in bf16; residual add,
+    cross-domain geometry, and normalization stay f32 (same contract as
+    models.DualGNN).  Returns (vert_p_loc, norm_p_loc)."""
     import jax.numpy as jnp
     from flax import linen as nn
 
     from geobignn_tpu import geometry
     from geobignn_tpu.models.dual_gnn import LEAKY_SLOPE
 
+    dt = compute_dtype or jnp.float32
     act = lambda v: nn.leaky_relu(v, LEAKY_SLOPE)
 
     def dense(name, x):
         q = params[name]
-        return x @ q["kernel"] + q["bias"]
+        return x @ q["kernel"].astype(x.dtype) + q["bias"].astype(x.dtype)
 
     xyz = x_v_loc[:, :3]
-    feat_v = halo_gnn_module(params["gnn_v"], x_v_loc, d["v"], axis, pool_type)
+    feat_v = halo_gnn_module(params["gnn_v"], x_v_loc, d["v"], sd["v"], axis,
+                             pool_type, compute_dtype=dt)
     h = act(dense("fc_v1", feat_v))
-    vert_p = dense("fc_v2", h) + xyz
+    out_v = dense("fc_v2", h).astype(jnp.float32)
+    if params["fc_v2"]["kernel"].shape[-1] == 1:  # force_depth head
+        if depth_direction is None:
+            raise ValueError(
+                "checkpoint has a force_depth (1-channel) vertex head but "
+                "no depth_direction was provided (build with with_depth)"
+            )
+        out_v = out_v * depth_direction
+    vert_p = out_v + xyz
 
     # cross-domain: exchange corner vertex positions, rebuild facet features
     # (reverse tables, when present, make both gathers scatter-free in bwd)
-    ext_v = hp.halo_exchange(vert_p, d["send_fv"], axis,
+    ext_v = hp.halo_exchange(vert_p, d["send_fv"], axis, sd["fv_rounds"],
                              rev_send=d.get("send_fv_rev"))
     if "fv_rev" in d:
         from geobignn_tpu.ops import table as tbl
@@ -399,7 +442,8 @@ def halo_dual_gnn(params, x_v_loc, x_f_loc, d: dict, axis: str,
     face_norm = geometry.safe_normalize(n_)
     x_f = jnp.concatenate([x_f_loc, face_cent, face_norm], axis=1)
 
-    feat_f = halo_gnn_module(params["gnn_f"], x_f, d["f"], axis, pool_type)
+    feat_f = halo_gnn_module(params["gnn_f"], x_f, d["f"], sd["f"], axis,
+                             pool_type, compute_dtype=dt)
     h = act(dense("fc_f1", feat_f))
-    norm_p = geometry.safe_normalize(dense("fc_f2", h))
+    norm_p = geometry.safe_normalize(dense("fc_f2", h).astype(jnp.float32))
     return vert_p, norm_p

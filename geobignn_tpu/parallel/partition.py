@@ -10,7 +10,8 @@ reference's submesh-overlap seam (SURVEY §2c).
 Host side (this module): seeded BFS partitioning into balanced parts,
 renumbering into per-chip slot spaces, per-pair halo send/recv index maps,
 and locally-relabelled edge lists whose remote columns point into the halo
-buffer region.  Device side: `halo_exchange` (one all_to_all) and
+buffer region.  Device side: `halo_exchange` (edge-colored per-pair
+ppermute rounds, each padded only to its own max pair cut) and
 `halo_feast_conv` (exchange + purely local aggregation) under shard_map.
 
 All per-chip arrays share one padded size, so the whole structure is a
@@ -27,10 +28,34 @@ from geobignn_tpu.structs import round_up
 
 
 def partition_nodes(
-    edge_index: np.ndarray, n: int, n_parts: int, seed: int = 0
+    edge_index: np.ndarray, n: int, n_parts: int, seed: int = 0,
+    method: str = "rcm",
 ) -> np.ndarray:
-    """Balanced BFS partitioning: grow parts breadth-first from spread
-    seeds, capping each at ceil(n/n_parts).  Returns owner (n,) int32."""
+    """Balanced node partitioning.  Returns owner (n,) int32.
+
+    method="rcm" (default): slice the whole-graph RCM order into P equal
+    contiguous slabs.  RCM ranks nodes ring-by-ring, so slabs are compact,
+    every boundary is ~one ring (O(sqrt N) rows), and the partition comm
+    graph is nearly a PATH — each part talks to its order-neighbors, so
+    the sparse exchange needs ~2 rounds with small uniform pads.  The BFS
+    grower (method="bfs", the previous default) leaves its LAST parts the
+    scattered leftovers of the frontier race; their boundaries are huge
+    and the max-chip cut (which paces a bulk-synchronous step) was
+    measured 5-10x the slab cut at P>=16 (docs/halo_scaling.json).
+
+    method="bfs": breadth-first growth from spread seeds, capped at
+    ceil(n/n_parts) — kept for comparison and irregular graphs."""
+    if method == "rcm":
+        from geobignn_tpu.ops.banded import rcm_order
+
+        perm = rcm_order(edge_index.astype(np.int64), n)
+        cap = -(-n // n_parts)
+        owner = np.empty(n, dtype=np.int32)
+        for p in range(n_parts):
+            owner[perm[p * cap : (p + 1) * cap]] = p
+        return owner
+    if method != "bfs":
+        raise ValueError(f"unknown partition method '{method}'")
     rng = np.random.default_rng(seed)
     cap = -(-n // n_parts)
     # CSR
@@ -91,20 +116,93 @@ def partition_nodes(
 
 @dataclasses.dataclass
 class HaloSharding:
-    """Per-chip (leading axis P) halo-sharded graph structure."""
+    """Per-chip (leading axis P) halo-sharded graph structure.
+
+    The exchange is SPARSE: the partition communication graph (nonzero
+    cut pairs) is edge-colored into `rounds`; each round is one ppermute
+    over a disjoint set of chip pairs, padded only to the max cut WITHIN
+    that round — not to the global max pair like a dense all_to_all
+    (which cost 31-33% modeled efficiency at P>=16; see
+    parallel/accounting.py and docs/halo_scaling.json)."""
 
     n_parts: int
     n_loc: int  # padded local node count (incl. trash at n_loc-1)
-    h_pad: int  # padded per-pair halo buffer length
+    h_total: int  # total halo buffer length = sum of per-round pads
     e_loc: int  # padded local edge count
     slot_of: np.ndarray  # (N,) global node -> local slot
     owner: np.ndarray  # (N,) global node -> chip
     gather_x: np.ndarray  # (P, n_loc) global row to load per slot (trash -> N)
-    edge_index: np.ndarray  # (P, 2, e_loc): row local, col in [0, n_loc + P*h_pad)
+    edge_index: np.ndarray  # (P, 2, e_loc): row local, col in [0, n_loc + h_total)
     edge_weight: np.ndarray | None  # (P, e_loc)
     deg: np.ndarray  # (P, n_loc)
     node_mask: np.ndarray  # (P, n_loc)
-    send_idx: np.ndarray  # (P, P, h_pad) local slots chip p sends to chip q
+    send_idx: np.ndarray  # (P, h_total) local slots to send, round-major
+    rounds: tuple = ()  # ((perm pairs, h_c), ...) static exchange schedule
+
+
+def color_rounds(
+    cut: np.ndarray, granularity: int = 8, bin_ratio: float = 2.0
+) -> tuple[tuple, np.ndarray, int]:
+    """Size-binned greedy edge-coloring of the partition comm graph.
+
+    cut (P, P): cut[p, q] = rows p must RECEIVE from q.  Pairs with any
+    traffic in either direction become edges.  Pairs are first bucketed
+    into geometric weight classes (ratio `bin_ratio`), then each class is
+    edge-colored independently (heaviest-first greedy) — so a chip's
+    LIGHT pairs never share a round with (and get padded to) somebody
+    else's heavy pair; within a round the pad overshoot is bounded by the
+    bin ratio.  Extra rounds cost only per-collective latency, which is
+    tiny next to the padding bytes they save.
+
+    Each round c is padded to h_c = round_up(max pair cut in c).  Returns
+    (rounds, offset_of, h_total): rounds = ((perm, h_c), ...) with perm a
+    tuple of (src, dst) chip pairs (both directions of every pair);
+    offset_of[p, q] = halo-buffer offset where p's rows-from-q land
+    (-1 when the pair never communicates)."""
+    import math
+
+    p_cnt = cut.shape[0]
+    wpair: dict[tuple[int, int], int] = {}
+    for p in range(p_cnt):
+        for q in range(p + 1, p_cnt):
+            w = int(max(cut[p, q], cut[q, p]))
+            if w > 0:
+                wpair[(p, q)] = w
+    # geometric size classes; class id descends with weight so heavy
+    # rounds come first (stable layout for debugging)
+    def klass(w: int) -> int:
+        return -int(math.floor(math.log(max(w, 1)) / math.log(bin_ratio)))
+
+    colors: list[dict] = []
+    by_class: dict[int, list] = {}
+    for pq, w in sorted(wpair.items(), key=lambda kv: (-kv[1], kv[0])):
+        by_class.setdefault(klass(w), []).append((pq, w))
+    for k in sorted(by_class):
+        class_colors: list[dict] = []
+        for (p, q), w in by_class[k]:
+            for col in class_colors:
+                if p not in col["used"] and q not in col["used"]:
+                    break
+            else:
+                col = {"pairs": [], "h": 0, "used": set()}
+                class_colors.append(col)
+            col["pairs"].append((p, q))
+            col["used"] |= {p, q}
+            col["h"] = max(col["h"], w)
+        colors.extend(class_colors)
+    rounds = []
+    offset_of = np.full((p_cnt, p_cnt), -1, np.int64)
+    off = 0
+    for col in colors:
+        h_c = round_up(col["h"], granularity)
+        perm = []
+        for p, q in col["pairs"]:
+            perm += [(p, q), (q, p)]
+            offset_of[p, q] = off
+            offset_of[q, p] = off
+        rounds.append((tuple(sorted(perm)), h_c))
+        off += h_c
+    return tuple(rounds), offset_of, off
 
 
 def build_halo_sharding(
@@ -122,9 +220,9 @@ def build_halo_sharding(
     applies per shard.  Default: id order.
 
     `n_granularity` rounds n_loc separately (the banded kernel needs
-    n_loc % tile == 0) while h_pad/e_loc keep the small `granularity` —
-    rounding halo buffers up to a 768-wide tile would multiply the
-    all_to_all payload and the reverse tables for nothing."""
+    n_loc % tile == 0) while the halo-round pads / e_loc keep the small
+    `granularity` — rounding halo buffers up to a 768-wide tile would
+    multiply the exchange payload and the reverse tables for nothing."""
     p_cnt = int(owner.max()) + 1
     counts = np.bincount(owner, minlength=p_cnt)
     n_loc = round_up(int(counts.max()) + 1, n_granularity or granularity)
@@ -157,21 +255,27 @@ def build_halo_sharding(
     u_pq = uniq // (n + 1)
     u_col = uniq % (n + 1)
     seg_counts = np.bincount(u_pq, minlength=p_cnt * p_cnt)
-    h_max = max(1, int(seg_counts.max()) if uniq.size else 1)
-    h_pad = round_up(h_max, granularity)
     seg_starts = np.zeros(p_cnt * p_cnt, np.int64)
     np.cumsum(seg_counts[:-1], out=seg_starts[1:])
     u_rank = np.arange(uniq.size, dtype=np.int64) - seg_starts[u_pq]
-
-    # send_idx[q, p]: local slots (in q) of the nodes p needs from q
-    send_idx = np.full((p_cnt, p_cnt, h_pad), trash_loc, dtype=np.int32)
     u_p, u_q = u_pq // p_cnt, u_pq % p_cnt
-    send_idx[u_q, u_p, u_rank] = slot_of[u_col]
+
+    # sparse exchange schedule: per-round (disjoint-pair) ppermutes, each
+    # padded only to its own max pair cut (not the global max pair)
+    cut = seg_counts.reshape(p_cnt, p_cnt)  # [p, q] = p receives from q
+    rounds, offset_of, h_total = color_rounds(cut, granularity)
+
+    # send_idx[q]: round-major send buffer of chip q — at each round's
+    # offset, the local slots its round-partner p needs from q
+    send_idx = np.full((p_cnt, h_total), trash_loc, dtype=np.int32)
+    if uniq.size:
+        send_idx[u_q, offset_of[u_p, u_q] + u_rank] = slot_of[u_col]
 
     # ext-space column lookup per dst chip: global node -> halo buffer slot
-    # (n_loc + q*h_pad + rank); own nodes resolve via slot_of below
+    # (n_loc + round offset + rank); own nodes resolve via slot_of below
     halo_slot = np.full((p_cnt, n), trash_loc, dtype=np.int32)
-    halo_slot[u_p, u_col] = n_loc + u_q * h_pad + u_rank
+    if uniq.size:
+        halo_slot[u_p, u_col] = n_loc + offset_of[u_p, u_q] + u_rank
 
     # local edge lists: slice the row-owner-sorted edges per chip
     e_order = np.argsort(orow, kind="stable")
@@ -205,10 +309,10 @@ def build_halo_sharding(
         mask[p, : counts[p]] = 1.0
 
     return HaloSharding(
-        n_parts=p_cnt, n_loc=n_loc, h_pad=h_pad, e_loc=e_loc,
+        n_parts=p_cnt, n_loc=n_loc, h_total=h_total, e_loc=e_loc,
         slot_of=slot_of, owner=np.asarray(owner, np.int32),
         gather_x=gather_x, edge_index=ei, edge_weight=ew,
-        deg=deg, node_mask=mask, send_idx=send_idx,
+        deg=deg, node_mask=mask, send_idx=send_idx, rounds=rounds,
     )
 
 
@@ -220,14 +324,14 @@ def halo_tables(sh: HaloSharding, granularity: int = 8) -> dict:
       nbr  (P, n_loc, K)   local row -> ext-space neighbor slots
       kmask(P, n_loc, K)
       rev  (P, n_ext, R)   ext slot -> flattened (n_loc*K) positions
-      rev_send (P, P*h_pad, R_s)  local slot -> positions in send_idx,
+      rev_send (P, h_total, R_s)  local slot -> positions in send_idx,
                                   making halo_exchange's send gather
                                   scatter-free in backward too
     """
     from geobignn_tpu.ops import table as tbl
 
-    p_cnt, n_loc, h_pad = sh.n_parts, sh.n_loc, sh.h_pad
-    n_ext = n_loc + p_cnt * h_pad
+    p_cnt, n_loc, h_total = sh.n_parts, sh.n_loc, sh.h_total
+    n_ext = n_loc + h_total
 
     per = []
     k_max = r_max = rs_max = 1
@@ -268,7 +372,7 @@ def halo_tables(sh: HaloSharding, granularity: int = 8) -> dict:
     kmask = np.stack([q[1] for q in per])
     rev = np.stack([repad_rev(q[2], r_max, n_loc * k_pad) for q in per])
     rev_send = np.stack(
-        [repad_rev(q[3], rs_max, p_cnt * h_pad) for q in per]
+        [repad_rev(q[3], rs_max, h_total) for q in per]
     )
     return dict(nbr=nbr, kmask=kmask, rev=rev, rev_send=rev_send)
 
@@ -320,9 +424,9 @@ def halo_band_arrays(sh: HaloSharding, tile: int, granularity: int = 8) -> dict:
     from geobignn_tpu.ops import table as tbl
     from geobignn_tpu.ops.banded import band_mask_np
 
-    p_cnt, n_loc, h_pad = sh.n_parts, sh.n_loc, sh.h_pad
+    p_cnt, n_loc, h_total = sh.n_parts, sh.n_loc, sh.h_total
     assert n_loc % tile == 0, (n_loc, tile)
-    n_ext = n_loc + p_cnt * h_pad
+    n_ext = n_loc + h_total
     src_mask = np.ones(n_ext, bool)
     src_mask[n_loc - 1] = False
 
@@ -369,7 +473,7 @@ def halo_band_arrays(sh: HaloSharding, tile: int, granularity: int = 8) -> dict:
         nbr_b=np.stack(nbrs),
         kmask_b=np.stack(kmasks),
         rev_b=np.stack([repad(r, r_max, n_loc * k_max) for r in revs]),
-        rev_send=np.stack([repad(s, rs_max, p_cnt * h_pad) for s in rev_sends]),
+        rev_send=np.stack([repad(s, rs_max, h_total) for s in rev_sends]),
     )
 
 
@@ -388,29 +492,47 @@ def unshard_features(x_loc: np.ndarray, sh: HaloSharding, n: int) -> np.ndarray:
 # device side (inside shard_map over the halo axis)
 # --------------------------------------------------------------------------
 
-def halo_exchange(x_local, send_idx_self, axis: str, rev_send=None):
-    """x_local (n_loc, C); send_idx_self (P, h_pad).  Returns the extended
-    feature table (n_loc + P*h_pad, C): local slots then halo buffers laid
-    out by source chip.  ONE all_to_all of boundary rows per call.
+def halo_exchange(x_local, send_idx_self, axis: str, rounds=(), rev_send=None):
+    """x_local (n_loc, C); send_idx_self (h_total,) round-major send slots;
+    `rounds` the STATIC schedule from the sharding (HaloSharding.rounds).
+    Returns the extended feature table (n_loc + h_total, C): local slots
+    then per-round halo buffers.
+
+    SPARSE exchange: one `ppermute` per round over that round's disjoint
+    chip pairs, each padded to its own max pair cut — total bytes are the
+    sum of per-round pads (close to the real cut), not (P-1) x the global
+    max pair like the previous dense all_to_all.  Chips without a partner
+    in a round contribute nothing; non-destination chips receive zeros
+    (== trash features, never addressed).
 
     With `rev_send` (halo_tables) the send gather backpropagates through a
     reverse-table gather instead of a scatter-add."""
     import jax
     import jax.numpy as jnp
 
+    if not rounds:
+        return x_local
     if rev_send is None:
-        send = x_local[send_idx_self]  # (P, h_pad, C) rows destined per chip
+        send = x_local[send_idx_self]  # (h_total, C)
     else:
         from geobignn_tpu.ops import table as tbl
 
-        send = tbl.table_gather(x_local, send_idx_self, rev_send)
-    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=False)
-    p, h, c = recv.shape
-    return jnp.concatenate([x_local, recv.reshape(p * h, c)], axis=0)
+        send = tbl.table_gather(
+            x_local, send_idx_self.reshape(-1, 1), rev_send
+        ).reshape(send_idx_self.shape[0], x_local.shape[1])
+    parts = [x_local]
+    off = 0
+    for perm, h_c in rounds:
+        parts.append(
+            jax.lax.ppermute(send[off : off + h_c], axis, perm=list(perm))
+        )
+        off += h_c
+    return jnp.concatenate(parts, axis=0)
 
 
 def halo_feast_conv(
-    params, x_local, edge_index, deg, send_idx_self, axis: str, node_mask=None
+    params, x_local, edge_index, deg, send_idx_self, axis: str,
+    rounds=(), node_mask=None,
 ):
     """FeaStConv over a halo-sharded graph: exchange boundary features once,
     then aggregate purely locally (rows are always local).  Pass node_mask
@@ -420,7 +542,7 @@ def halo_feast_conv(
 
     from geobignn_tpu.ops import segment
 
-    ext = halo_exchange(x_local, send_idx_self, axis)
+    ext = halo_exchange(x_local, send_idx_self, axis, rounds)
     n = x_local.shape[0]
     row, col = edge_index[0], edge_index[1]
     x_i = x_local[row]
@@ -452,7 +574,7 @@ def halo_feast_conv(
 
 def halo_feast_conv_banded(
     params, x_local, band: dict, deg, send_idx_self, axis: str,
-    node_mask=None, compute_dtype=None,
+    rounds=(), node_mask=None, compute_dtype=None,
 ):
     """Banded Pallas FeaStConv per halo shard: intra-partition edges run
     through the gather-free banded kernel (ops/banded_pallas.py, local
@@ -469,7 +591,8 @@ def halo_feast_conv_banded(
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16
 
-    ext = halo_exchange(x_local, send_idx_self, axis, rev_send=band["rev_send"])
+    ext = halo_exchange(x_local, send_idx_self, axis, rounds,
+                        rev_send=band["rev_send"])
 
     # intra-partition band edges: rank-H factorized softmax halves
     a = x_local @ params.u
@@ -496,17 +619,19 @@ def halo_feast_conv_banded(
 
 
 def halo_feast_conv_table(
-    params, x_local, tabs: dict, deg, send_idx_self, axis: str, node_mask=None
+    params, x_local, tabs: dict, deg, send_idx_self, axis: str,
+    rounds=(), node_mask=None,
 ):
-    """Scatter-free halo FeaStConv: one boundary all_to_all, then the dense
+    """Scatter-free halo FeaStConv: one boundary exchange, then the dense
     neighbor-table formulation (ops/feastconv.feast_conv_table) over the
     extended [local | halo] feature table.  `tabs` = this chip's slice of
     partition.halo_tables.  Forward AND backward are gather-only (the
     measured 12x/5.6x single-chip win carries over; the only extra cost is
-    the all_to_all pair, whose payload is the cut size)."""
+    the exchange pair, whose payload is the cut size)."""
     from geobignn_tpu.ops.feastconv import feast_conv_table
 
-    ext = halo_exchange(x_local, send_idx_self, axis, rev_send=tabs["rev_send"])
+    ext = halo_exchange(x_local, send_idx_self, axis, rounds,
+                        rev_send=tabs["rev_send"])
     out = feast_conv_table(
         params, x_local, tabs["nbr"], tabs["kmask"], tabs["rev"],
         deg=deg, x_src=ext,

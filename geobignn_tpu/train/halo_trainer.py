@@ -71,9 +71,15 @@ class HaloTrainer:
         # params come from the standard flax model on a single-device build
         # of the first mesh (identical parameter pytree; halo_dual_gnn
         # consumes the inner "params" dict)
+        import jax.numpy as jnp
+
+        self._compute_dtype = (
+            jnp.bfloat16 if cfg.precision == "bfloat16" else None
+        )
         m0_n, m0_o = mesh_pairs[0]
         init_sample, _ = build_dual_sample(m0_n, m0_o, bc)
-        model = DualGNN(pool_type=cfg.pool_type, heads=cfg.heads)
+        model = DualGNN(force_depth=cfg.force_depth, pool_type=cfg.pool_type,
+                        heads=cfg.heads)
         key = jax.random.PRNGKey(cfg.seed or 0)
         self.params = jax.tree.map(
             np.asarray, model.init(key, init_sample)["params"]
@@ -98,27 +104,35 @@ class HaloTrainer:
         return jax.tree.map(lambda a: jax.device_put(a, sh), arrays)
 
     def _step_for(self, sample, arrays):
-        key = tuple(
-            leaf.shape for leaf in jax.tree_util.tree_leaves(arrays)
+        # static exchange rounds are baked into the compiled program, so
+        # same-shape samples with different schedules must not share a step
+        key = (
+            tuple(leaf.shape for leaf in jax.tree_util.tree_leaves(arrays)),
+            repr(sample.static),
         )
         if key not in self._steps:
             cfg = self.cfg
             self._steps[key] = self._ht.make_halo_train_step(
                 self.tx, self.mesh, sample.arrays,
+                static_d=sample.static,
                 loss_cfg=cfg.loss_cfg(),
                 pool_type=cfg.pool_type,
                 augment=cfg.augment,
                 n_steps=1,
+                compute_dtype=self._compute_dtype,
             )
         return self._steps[key]
 
     def _fwd_for(self, sample, arrays):
-        key = tuple(
-            leaf.shape for leaf in jax.tree_util.tree_leaves(arrays)
+        key = (
+            tuple(leaf.shape for leaf in jax.tree_util.tree_leaves(arrays)),
+            repr(sample.static),
         )
         if key not in self._fwds:
             self._fwds[key] = self._ht.make_halo_forward(
-                self.mesh, sample.arrays, pool_type=self.cfg.pool_type
+                self.mesh, sample.arrays, static_d=sample.static,
+                pool_type=self.cfg.pool_type,
+                compute_dtype=self._compute_dtype,
             )
         return self._fwds[key]
 
@@ -174,12 +188,33 @@ class HaloTrainer:
             )
             dv = vp - yv
             dn = nf - ynf
-            # same loss family the halo step optimizes (cfg.loss_v/loss_n;
-            # the halo path supports L1/L2)
-            lv = np.abs(dv) if self.cfg.loss_v == "L1" else dv**2
-            ln = np.abs(dn) if self.cfg.loss_n == "L1" else dn**2
-            sums["loss_v"] += float(lv.sum())
-            sums["loss_f"] += float(ln.sum())
+            # same loss family the halo step optimizes, evaluated through
+            # the SINGLE-CHIP reference implementations on the unsharded
+            # predictions (doubles as a cross-check of the sharded loss)
+            import jax.numpy as jnp
+
+            from geobignn_tpu.models import losses
+
+            if self.cfg.loss_v == "CD":
+                ones_v = jnp.ones(vp.shape[0])
+                sums["loss_v"] += float(losses.loss_v(
+                    jnp.asarray(vp), jnp.asarray(yv), ones_v, "CD"
+                )) * vp.shape[0]
+            else:
+                lv = np.abs(dv) if self.cfg.loss_v == "L1" else dv**2
+                sums["loss_v"] += float(lv.sum())
+            if self.cfg.loss_n == "sided":
+                fv = s.meta["fv_indices"]
+                fc_p = vp[fv].mean(axis=1)
+                fc = yv[fv].mean(axis=1)
+                ones_f = jnp.ones(nf.shape[0])
+                sums["loss_f"] += float(losses.loss_n(
+                    jnp.asarray(nf), jnp.asarray(ynf), ones_f, "sided",
+                    jnp.asarray(fc_p), jnp.asarray(fc),
+                )) * nf.shape[0]
+            else:
+                ln = np.abs(dn) if self.cfg.loss_n == "L1" else dn**2
+                sums["loss_f"] += float(ln.sum())
             sums["error_v"] += float(np.sqrt((dv**2).sum(1)).sum())
             en = np.degrees(
                 np.arccos(np.clip(1.0 - (dn**2).sum(1) / 2.0, -1, 1))

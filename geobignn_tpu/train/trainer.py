@@ -91,6 +91,7 @@ class Trainer:
         else:
             self.model = DualGNN(
                 force_depth=cfg.force_depth, pool_type=cfg.pool_type, heads=cfg.heads,
+                fusion=cfg.fusion_features,
                 compute_dtype=jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32,
             )
         self.tx = optim.make_optimizer(cfg)
@@ -123,6 +124,7 @@ class Trainer:
             model_sh = DualGNN(
                 force_depth=cfg.force_depth, pool_type=cfg.pool_type,
                 heads=cfg.heads, gp_axis="gp",
+                fusion=cfg.fusion_features,
                 compute_dtype=self.model.compute_dtype,
             )
             self._global_batch = cfg.dcn * cfg.dp * cfg.batch_size

@@ -25,18 +25,27 @@ def test_report_consistency():
     assert rep["efficiency_real_cut"] >= rep["efficiency_no_overlap"]
     assert 0 < rep["efficiency_no_overlap"] <= 1
 
-    # hand-recompute one conv's payload from the sharding
+    # hand-recompute one conv's payload from the sharding: per-chip ROUND
+    # PARTICIPATION (rounds the chip appears in), max over chips
     sh = hs.structure.v.levels[0]
-    p, _, h_pad = sh.send_idx.shape
     c_in = 6  # first vertex conv
-    expect_mb = (p - 1) * h_pad * c_in * 4 / 1e6
+    assert sh.h_total == sum(h for _, h in sh.rounds)
+    part = np.zeros(sh.n_parts)
+    for perm, h_c in sh.rounds:
+        for chip in {s for s, _ in perm}:
+            part[chip] += h_c
+    expect_mb = part.max() * c_in * 4 / 1e6
     assert abs(rep["per_conv"][0]["payload_mb"] - expect_mb) < 1e-9
 
-    # real rows: non-trash entries of send_idx
+    # real rows: non-trash entries of send_idx, worst chip
     trash = sh.n_loc - 1
-    real_rows = int((sh.send_idx != trash).sum(axis=(1, 2)).mean())
+    real_rows = int((sh.send_idx != trash).sum(axis=1).max())
     expect_real = real_rows * c_in * 4 / 1e6
     assert abs(rep["per_conv"][0]["real_mb"] - expect_real) < 1e-9
+
+    # sparse payload is bracketed by the real cut and the dense all_to_all
+    assert rep["step_real_mb"] <= rep["step_payload_mb"] <= rep["step_dense_mb"]
+    assert rep["efficiency_no_overlap"] >= rep["efficiency_dense_a2a"]
 
 
 def test_conv_schedule_matches_model_params():

@@ -46,6 +46,43 @@ def test_halo_sharding_structure(mesh_graph):
     assert halo_frac < 0.8
 
 
+def test_color_rounds_schedule_properties(mesh_graph):
+    """The sparse exchange schedule: every communicating pair appears in
+    exactly one round, rounds are matchings (each chip <=1 partner), every
+    round pad covers its pairs' cuts, and offsets tile [0, h_total)."""
+    m, ei, w = mesh_graph
+    n = m.n_vertices
+    owner = hp.partition_nodes(ei, n, 8, seed=3)
+    sh = hp.build_halo_sharding(ei, w, n, owner)
+
+    # recompute the directed cut matrix independently
+    row, col = ei[0], ei[1]
+    cross = owner[row] != owner[col]
+    cut = np.zeros((8, 8), np.int64)
+    pairs = set(zip(owner[row[cross]].tolist(), owner[col[cross]].tolist()))
+    for p, q in pairs:
+        cols_needed = np.unique(col[cross][(owner[row[cross]] == p)
+                                           & (owner[col[cross]] == q)])
+        cut[p, q] = cols_needed.size
+
+    seen = set()
+    off = 0
+    for perm, h_c in sh.rounds:
+        srcs = [s for s, _ in perm]
+        dsts = [d for _, d in perm]
+        assert len(set(srcs)) == len(srcs) and len(set(dsts)) == len(dsts)
+        for s, d in perm:
+            assert (d, s) in perm  # both directions scheduled together
+            if s < d:
+                assert (s, d) not in seen
+                seen.add((s, d))
+            assert cut[d, s] <= h_c  # pad covers the pair's cut
+        off += h_c
+    assert off == sh.h_total
+    want = {(min(p, q), max(p, q)) for p, q in pairs if cut[p, q] or cut[q, p]}
+    assert seen == want
+
+
 def test_halo_feast_conv_matches_unsharded(mesh_graph):
     """The halo-sharded conv on an 8-device mesh == the plain conv."""
     m, ei, w = mesh_graph
@@ -64,7 +101,8 @@ def test_halo_feast_conv_matches_unsharded(mesh_graph):
 
     def fn(p, x_l, ei_l, deg_l, send_l):
         out = hp.halo_feast_conv(
-            p, x_l[0], ei_l[0], deg_l[0], send_l[0], axis="gp"
+            p, x_l[0], ei_l[0], deg_l[0], send_l[0], axis="gp",
+            rounds=sh.rounds,
         )
         return out[None]
 

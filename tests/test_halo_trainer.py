@@ -80,7 +80,8 @@ def test_halo_trainer_first_epoch_matches_manual_step():
     tx = optim.make_optimizer(cfg)
     opt_state = optim.set_lr(tx.init(p0), optim.lr_at_epoch(cfg, 0))
     step = ht.make_halo_train_step(
-        tx, mesh, hs.arrays, loss_cfg=cfg.loss_cfg(), n_steps=1
+        tx, mesh, hs.arrays, static_d=hs.static, loss_cfg=cfg.loss_cfg(),
+        n_steps=1,
     )
     rng2 = np.random.default_rng(cfg.seed)
     _ = rng2.permutation(1)

@@ -188,16 +188,21 @@ def test_config_validate_mode_matrix():
         (dict(halo_parts=2, edge_weight_type=4), "dynamic pooling"),
         (dict(dynamic_pool=True, gp=2), "single-chip"),
         (dict(precision="fp8"), "precision"),
-        (dict(halo_parts=2, data_type="Kinect_v1"), "force_depth"),
         (dict(precision="bfloat16", dynamic_pool=True), "bfloat16"),
-        (dict(precision="bfloat16", halo_parts=2), "bfloat16"),
         (dict(lr_sch="cosine"), "lr_sch"),
         (dict(optimizer="lion"), "optimizer"),
         (dict(pool_type="sum"), "pool_type"),
+        (dict(fusion_features=8, gp=2), "fusion"),
+        (dict(fusion_features=8, halo_parts=2), "fusion"),
     ]
     for kw, msg in cases:
         with pytest.raises(ValueError, match=msg):
             Config(seed=1, **kw).validate()
+
+    # round-4 capability closures: these combinations are now SUPPORTED
+    # (halo force_depth head, halo bf16) — they must validate cleanly
+    Config(seed=1, halo_parts=2, data_type="Kinect_v1").validate()
+    Config(seed=1, precision="bfloat16", halo_parts=2).validate()
 
 
 def test_checkpoint_msgpack_format_and_pickle_backcompat(tmp_path):

@@ -124,6 +124,32 @@ def test_edges_per_s_logged(tmp_path):
     assert train_rows and all(r["edges_per_s"] > 0 for r in train_rows)
 
 
+def test_fusion_mode_trains_and_converges():
+    """Opt-in DualFusionLayer mode (Config.fusion_features > 0): the fused
+    model trains end-to-end and the eval error drops — the reference keeps
+    the layer importable but dead (net_util.py:248-278); here it is a
+    usable mode."""
+    m_o = synth.icosphere(2)
+    m_n = synth.add_noise(m_o, 0.3, seed=9)
+    ds = InMemoryDataset([(m_n, m_o)], BuildConfig(granularity=64))
+    cfg = Config(max_epoch=25, lr=2e-3, seed=1, granularity=64, augment=False,
+                 fusion_features=16)
+    tr = Trainer(cfg, ds, ds)
+    assert "fusion" in tr.params["params"], list(tr.params["params"])
+    first = tr.evaluate()
+    tr.fit()
+    last = tr.evaluate()
+    assert last["error_f"] < 0.5 * first["error_f"]
+
+    # rejected where the incidence is not partition-aware
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fusion"):
+        Config(fusion_features=8, gp=2).validate()
+    with _pytest.raises(ValueError, match="fusion"):
+        Config(fusion_features=8, halo_parts=2).validate()
+
+
 def test_lr_schedules():
     cfg = Config(lr=1.0, lr_decay=0.5, lr_step=(10,), lr_sch="lmd")
     assert lr_at_epoch(cfg, 0) == 1.0
