@@ -74,7 +74,12 @@ def _host_build(subdiv: int, tables_only: bool):
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "processed_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    token = f"v2_s{subdiv}_r{int(bc.reorder)}_g{bc.granularity}"
+    # v3: slab-RCM ordering for over-wide graphs (hybrid band+table conv);
+    # order-affecting sweep env vars must key the cache
+    slab = "0" if os.environ.get("GBN_NO_SLAB") == "1" else "1"
+    mbt = os.environ.get("GBN_MAX_BAND_TILE", "768")
+    token = (f"v3_s{subdiv}_r{int(bc.reorder)}_g{bc.granularity}"
+             f"_sl{slab}_mbt{mbt}")
     path = os.path.join(cache_dir, f"bench_host_{token}.pkl")
     if os.path.exists(path):
         with open(path, "rb") as fh:
@@ -120,9 +125,9 @@ def worker() -> None:
     sample = attach_tables(union_batch([single] * batch_size), widths)
 
     cfg = Config(granularity=256)
-    # GBN_FC_BF16=1: run the fc heads (dense matmuls, no scatters) in bf16
-    # — the measured before/after for docs/RESULTS.md
-    fc_dt = jnp.bfloat16 if os.environ.get("GBN_FC_BF16") == "1" else None
+    # bf16 fc heads are the production default (+4% measured, params f32,
+    # no scatters touched); GBN_FC_BF16=0 restores the f32 heads for A/B
+    fc_dt = None if os.environ.get("GBN_FC_BF16") == "0" else jnp.bfloat16
     model = DualGNN(fc_dtype=fc_dt)
     # jit the init: eager flax init dispatches hundreds of tiny ops
     # individually over the tunneled TPU (~3 min measured, load-dependent)

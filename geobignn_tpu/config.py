@@ -86,6 +86,10 @@ class Config:
     # exchange (train/halo_trainer.py); mutually exclusive with dp/gp/dcn
     halo_banded: bool = False  # halo convs through the banded Pallas
     # kernels (per-partition RCM slot order)
+    fc_precision: str = "bfloat16"  # fc-head matmul dtype: the heads are
+    # dense (no scatters), params stay f32 and outputs cast back, so bf16
+    # here is parity-insensitive and measured +4% end-to-end on v5e
+    # (docs/RESULTS.md round 4); "float32" restores the old exact path
     auto_resume: bool = False  # continue the latest run of this
     # data_type/flag from its ckpt_last (fault-tolerant restart: rerun the
     # same command after preemption and training resumes exactly)
@@ -155,6 +159,8 @@ class Config:
             )
         if self.precision not in ("float32", "bfloat16"):
             raise ValueError(f"unknown precision '{self.precision}'")
+        if self.fc_precision not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown fc_precision '{self.fc_precision}'")
         if self.lr_sch not in ("lmd", "step", "multi_step", "exp", "auto"):
             raise ValueError(f"unknown lr_sch '{self.lr_sch}'")
         if self.optimizer not in ("adam", "sgd", "rmsprop"):

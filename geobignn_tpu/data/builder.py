@@ -85,16 +85,19 @@ def rcm_reorder_meshes(
     mesh_n: TriMesh, mesh_o: TriMesh | None
 ) -> tuple[TriMesh, TriMesh | None, np.ndarray, np.ndarray]:
     """RCM-permute vertices and faces of a mesh pair (identical
-    connectivity) so both level-1 graphs are band-limited.  Returns
-    (mesh_n', mesh_o', perm_v, perm_f) with perm[new_slot] = old_id."""
+    connectivity) so both level-1 graphs are band-limited.  Large meshes
+    whose RCM bandwidth exceeds the banded kernel's tile limit get the
+    slab-RCM order instead (ops/banded.order_for_band): small intra-slab
+    bandwidth + a small boundary set for the hybrid band+table conv.
+    Returns (mesh_n', mesh_o', perm_v, perm_f), perm[new_slot] = old_id."""
     from geobignn_tpu.ops import banded
 
     ei_v = graphs.build_vertex_graph_1ring(mesh_n.ev_indices, mesh_n.n_vertices)
-    perm_v = banded.rcm_order(ei_v.astype(np.int64), mesh_n.n_vertices)
+    perm_v, _ = banded.order_for_band(ei_v, mesh_n.n_vertices)
     inv_v = np.empty(mesh_n.n_vertices, np.int64)
     inv_v[perm_v] = np.arange(mesh_n.n_vertices)
     ei_f = graphs.build_facet_graph(mesh_n.fv_indices, mesh_n.vf_indices)
-    perm_f = banded.rcm_order(ei_f.astype(np.int64), mesh_n.n_faces)
+    perm_f, _ = banded.order_for_band(ei_f, mesh_n.n_faces)
     fv_new = inv_v[mesh_n.fv_indices[perm_f]].astype(mesh_n.fv_indices.dtype)
     m_n = TriMesh(mesh_n.points[perm_v], fv_new)
     m_o = None if mesh_o is None else TriMesh(mesh_o.points[perm_v], fv_new.copy())
@@ -207,6 +210,11 @@ class TableWidths:
     bsk_v: tuple = (0, 0, 0)  # block-sparse column-block count per level at
     bsk_f: tuple = (0, 0, 0)  # BS_TILE (0 = not computed); merged as max —
     # the fallback when a band is too wide or dropped at merge time
+    hyb_v: tuple = ((0, 0, 0, 0, 0),) * 3  # band+boundary hybrid per
+    hyb_f: tuple = ((0, 0, 0, 0, 0),) * 3  # level: (tile, m_b, k_b, r_b,
+    # s_b); tile 0 =
+    # not applicable.  Preferred over block-sparse when the slab-RCM order
+    # leaves a small out-of-window boundary (ops/banded.hybrid_widths)
 
     def merge(self, other: "TableWidths") -> "TableWidths":
         mx = lambda a, b: tuple(max(x, y) for x, y in zip(a, b))
@@ -237,6 +245,15 @@ class TableWidths:
             return tuple(out)
         bsk_v = mx(self.bsk_v, other.bsk_v)
         bsk_f = mx(self.bsk_f, other.bsk_f)
+
+        def hyb(a, b):
+            # a level stays hybrid only if hybrid in BOTH operands; the
+            # merged tile/pads are element-wise maxima
+            return tuple(
+                tuple(max(p, q) for p, q in zip(x, y))
+                if x[0] and y[0] else (0, 0, 0, 0, 0)
+                for x, y in zip(a, b)
+            )
         return TableWidths(
             k_v=mx(self.k_v, other.k_v), k_f=mx(self.k_f, other.k_f),
             mem_v=mx(self.mem_v, other.mem_v), mem_f=mx(self.mem_f, other.mem_f),
@@ -245,6 +262,8 @@ class TableWidths:
             tile_v=both(self.tile_v, other.tile_v, "vertex", bsk_v),
             tile_f=both(self.tile_f, other.tile_f, "facet", bsk_f),
             bsk_v=bsk_v, bsk_f=bsk_f,
+            hyb_v=hyb(self.hyb_v, other.hyb_v),
+            hyb_f=hyb(self.hyb_f, other.hyb_f),
         )
 
 
@@ -290,6 +309,7 @@ def widths_for(
         int(np.bincount(fv_indices.reshape(-1), minlength=bv.n_nodes).max()), g
     )
     tile_v = tile_f = bsk_v = bsk_f = (0, 0, 0)
+    hyb_v = hyb_f = ((0, 0, 0, 0, 0),) * 3
     if with_bands:
         from geobignn_tpu.ops import banded, blocksparse
 
@@ -299,7 +319,8 @@ def widths_for(
             picked = tuple(
                 banded.pick_tile(banded.bandwidth_of(ei)) for ei in eis
             )
-            # 0 = band too wide for the contiguous kernel; the block-sparse
+            # 0 = band too wide for the contiguous kernel; the hybrid (if
+            # the slab-RCM order left a small boundary) or the block-sparse
             # K below covers those levels (and band-merge drops)
             t = tuple(x if x <= banded.MAX_BAND_TILE else 0 for x in picked)
             ns = (b.n_nodes, s1.n_out, s2.n_out)
@@ -307,11 +328,17 @@ def widths_for(
                 blocksparse.blocks_needed(ei, n + 1, blocksparse.bs_tile())
                 for ei, n in zip(eis, ns)
             )
-            return t, bsk
+            hyb = tuple(
+                banded.hybrid_widths(ei, n)
+                if not ti and os.environ.get("GBN_NO_HYBRID") != "1"
+                else (0, 0, 0, 0, 0)
+                for ei, n, ti in zip(eis, ns, t)
+            )
+            return t, bsk, hyb
 
-        (tile_v, bsk_v), (tile_f, bsk_f) = tiles(bv), tiles(bf)
+        (tile_v, bsk_v, hyb_v), (tile_f, bsk_f, hyb_f) = tiles(bv), tiles(bf)
     return TableWidths(k_v, k_f, mem_v, mem_f, up_v, up_f, fv_r,
-                       tile_v, tile_f, bsk_v, bsk_f)
+                       tile_v, tile_f, bsk_v, bsk_f, hyb_v, hyb_f)
 
 
 def attach_tables(
@@ -392,14 +419,16 @@ def attach_tables(
     )
     if w is not None and (
         any(w.tile_v) or any(w.tile_f) or any(w.bsk_v) or any(w.bsk_f)
+        or any(h[0] for h in w.hyb_v) or any(h[0] for h in w.hyb_f)
     ):
-        new_v = attach_band(new_v, w.tile_v, w.bsk_v)
-        new_f = attach_band(new_f, w.tile_f, w.bsk_f)
+        new_v = attach_band(new_v, w.tile_v, w.bsk_v, w.hyb_v)
+        new_f = attach_band(new_f, w.tile_f, w.bsk_f, w.hyb_f)
     return sample.replace(v=new_v, f=new_f, fv_rev=fv_rev)
 
 
 def attach_band(
-    branch: structs.BranchGraph, tiles: tuple, bsks: tuple = (0, 0, 0)
+    branch: structs.BranchGraph, tiles: tuple, bsks: tuple = (0, 0, 0),
+    hybs: tuple = ((0, 0, 0, 0, 0),) * 3,
 ) -> structs.BranchGraph:
     """Attach per-level gather-free conv structures to an RCM-ordered
     branch (all three U-Net levels are reordered: the mesh at build time,
@@ -419,7 +448,7 @@ def attach_band(
     from geobignn_tpu.ops import banded, blocksparse
 
     levels = []
-    for lvl, tile, bsk in zip(branch.levels, tiles, bsks):
+    for lvl, tile, bsk, hyb in zip(branch.levels, tiles, bsks, hybs):
         n = np.asarray(lvl.node_mask).shape[0]
         ei = np.asarray(lvl.edge_index)
         # banded-first: where the contiguous band fits, it measured ~2x the
@@ -435,8 +464,35 @@ def attach_band(
             _BAND_DROPS_WARNED.add("force_bs")
             print("note: GBN_FORCE_BS=1 — block-sparse forced over banded "
                   "for every level that computed a K")
-        use_bs = bsk and (not tile or force_bs)
-        if use_bs:
+        use_hyb = hyb[0] and not tile and not force_bs
+        use_bs = bsk and (not tile or force_bs) and not use_hyb
+        if use_hyb:
+            # band+boundary hybrid (slab-RCM order): in-window edges on
+            # the banded Pallas kernel, the small out-of-window boundary
+            # through compact tables — the single-chip analog of the halo
+            # banded mode (parallel/partition.halo_feast_conv_banded)
+            htile, mb, kb, rb, sb = hyb
+            n_band = structs.round_up(n, htile)
+            # union-batch/padding can grow the boundary beyond the merged
+            # sizing; recompute at the CHOSEN tile and widen as needed
+            # (changes this batch's compile only)
+            _, mb2, kb2, rb2, sb2 = banded.hybrid_widths(ei, n_band, tile=htile)
+            if max(mb, mb2) == 0:
+                # every edge lands in the 3T window even though the strict
+                # bandwidth check failed: a plain band at this tile works
+                mask = banded.band_mask_np(ei, n_band, htile, check_bw=False)
+                levels.append(lvl.replace(band=mask))
+            else:
+                arrs = banded.hybrid_arrays_np(
+                    ei, n_band, htile,
+                    max(mb, mb2), max(kb, kb2), max(rb, rb2), max(sb, sb2),
+                )
+                levels.append(lvl.replace(
+                    band=arrs["m"], rows_b=arrs["rows_b"],
+                    nbr_b=arrs["nbr_b"], kmask_b=arrs["kmask_b"],
+                    src_b=arrs["src_b"], rev_b=arrs["rev_b"],
+                ))
+        elif use_bs:
             bt = blocksparse.bs_tile()
             n_band = structs.round_up(n, bt)
             needed = blocksparse.blocks_needed(ei, n_band, bt)

@@ -30,9 +30,15 @@ from geobignn_tpu.data import builder
 from geobignn_tpu.meshio import TriMesh, read_obj
 
 
+_BUILD_VERSION = 2  # bump on build-semantics changes (v2: slab-RCM order
+# for over-wide graphs) so content+config-keyed caches invalidate
+
+
 def _config_key(cfg: builder.BuildConfig) -> str:
+    d = dataclasses.asdict(cfg)
+    d["_build_version"] = _BUILD_VERSION
     return hashlib.sha256(
-        json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str).encode()
+        json.dumps(d, sort_keys=True, default=str).encode()
     ).hexdigest()[:12]
 
 

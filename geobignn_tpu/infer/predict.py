@@ -110,6 +110,11 @@ class Predictor:
         self.model = DualGNN(
             force_depth=cfg.force_depth, pool_type=cfg.pool_type,
             heads=cfg.heads, fusion=getattr(cfg, "fusion_features", 0),
+            fc_dtype=(
+                jnp.bfloat16
+                if getattr(cfg, "fc_precision", "float32") == "bfloat16"
+                else None
+            ),
         )
         self.params = params
         self._apply = jax.jit(self.model.apply)

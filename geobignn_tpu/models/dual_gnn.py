@@ -93,6 +93,14 @@ class FeaStConv(nn.Module):
                     out = blocksparse.feast_conv_blocksparse(
                         p_, xp, level.band, level.blk_idx, dp
                     )[:n1].astype(x_.dtype)
+                elif level.nbr_b is not None:
+                    # band + boundary-table hybrid (slab-RCM order)
+                    from geobignn_tpu.ops import banded_pallas
+
+                    out = banded_pallas.feast_conv_hybrid(
+                        p_, xp, level.band, level.rows_b, level.nbr_b,
+                        level.kmask_b, level.src_b, level.rev_b, dp,
+                    )[:n1].astype(x_.dtype)
                 else:
                     from geobignn_tpu.ops import banded_pallas
 

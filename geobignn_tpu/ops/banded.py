@@ -86,18 +86,21 @@ def band_mask_np(
     edge_index: np.ndarray,  # (2, E) trash-padded COO in RCM order
     n_pad: int,
     tile: int,
+    check_bw: bool = True,
 ) -> np.ndarray:
     """0/1 band mask M (B, T, 3T) int8: M[b, t, w] = 1 iff the edge
     (b*T + t) <- ((b-1)*T + w) exists.  Requires graph bandwidth <= T
-    (raises otherwise — re-tile or fall back to the table path).
-    n_pad must be a multiple of `tile`."""
+    (raises otherwise — re-tile or fall back to the table path);
+    check_bw=False admits any edge already known to be in-window (the
+    hybrid path pre-filters; in-window distance can legitimately reach
+    2T-1)."""
     assert n_pad % tile == 0, (n_pad, tile)
     row = edge_index[0].astype(np.int64)
     col = edge_index[1].astype(np.int64)
     real = row != col
     row, col = row[real], col[real]
     bw = int(np.abs(row - col).max()) if row.size else 0
-    if bw > tile:
+    if check_bw and bw > tile:
         raise ValueError(f"bandwidth {bw} exceeds tile {tile}; increase tile")
     b = row // tile
     t = row - b * tile
@@ -120,6 +123,195 @@ def pick_tile(bandwidth: int, granularity: int = 128, min_tile: int = 128) -> in
 # the vertex L1 at tile 768 still wins, 15.4e6 vs 13.5e6 edges/s with L1
 # fully on tables, despite ~0.3% band density.
 MAX_BAND_TILE = 768
+if "GBN_MAX_BAND_TILE" in __import__("os").environ:  # perf-sweep override:
+    # lower it to route wide levels through the hybrid instead of a wide
+    # contiguous band (e.g. the 327k vertex L1 at bw~700)
+    MAX_BAND_TILE = int(__import__("os").environ["GBN_MAX_BAND_TILE"])
+
+
+def order_for_band(
+    edge_index: np.ndarray, n: int,
+    max_tile: int | None = None, target_tile: int = 256,
+) -> tuple[np.ndarray, int]:
+    """Node permutation (new slot -> old id) for the banded conv family.
+
+    Plain RCM when its bandwidth fits `max_tile`.  Otherwise SLAB + per-
+    slab RCM: slice the global RCM order into Q contiguous slabs and
+    re-RCM each slab's intra subgraph.  A slab of a 2-manifold mesh is a
+    thin strip, so its own RCM bandwidth ~ strip thickness ~ N/(Q*ring) —
+    it DROPS with Q, while cross-slab edges (a few rings' worth) leave
+    the band entirely and become the hybrid conv's table-corrected
+    boundary set (builder.attach_band; mirrors the halo banded mode,
+    parallel/partition.py halo_band_arrays, applied single-chip).
+
+    Returns (perm, intra_bandwidth): the bandwidth over IN-SLAB edges
+    only — the graph's full bandwidth under perm includes the boundary
+    edges and stays large by design."""
+    import os as _os
+
+    if max_tile is None:  # resolved at call time so tests can monkeypatch
+        max_tile = MAX_BAND_TILE
+    target_tile = min(target_tile, max_tile)
+    perm = rcm_order(edge_index.astype(np.int64), n)
+    if _os.environ.get("GBN_NO_SLAB") == "1":  # perf-sweep override: plain
+        # RCM even when over-wide (pairs with GBN_NO_HYBRID=1 to reproduce
+        # the block-sparse baseline configuration)
+        inv0 = np.empty(n, np.int64)
+        inv0[perm] = np.arange(n)
+        r0, c0 = inv0[edge_index[0]], inv0[edge_index[1]]
+        rl = r0 != c0
+        return perm, int(np.abs(r0[rl] - c0[rl]).max()) if rl.any() else 0
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    row = inv[edge_index[0].astype(np.int64)]
+    col = inv[edge_index[1].astype(np.int64)]
+    real = row != col
+    bw = int(np.abs(row[real] - col[real]).max()) if real.any() else 0
+    if bw <= max_tile:
+        return perm, bw
+
+    for q in (2, 4, 8, 16, 32, 64):
+        cap = -(-n // q)
+        owner = np.minimum(inv // cap, q - 1)
+        new_perm = np.empty(n, np.int64)
+        bw_intra = 0
+        base = 0
+        o_row, o_col = owner[edge_index[0]], owner[edge_index[1]]
+        for p in range(q):
+            nodes = perm[p * cap : (p + 1) * cap]
+            m = nodes.size
+            idx_of = np.full(n, -1, np.int64)
+            idx_of[nodes] = np.arange(m)
+            sel = (
+                (o_row == p) & (o_col == p)
+                & (edge_index[0] != edge_index[1])
+            )
+            sub = np.stack([idx_of[edge_index[0][sel]],
+                            idx_of[edge_index[1][sel]]])
+            r = rcm_order(sub, m)
+            new_perm[base : base + m] = nodes[r]
+            if sub.shape[1]:
+                rank = np.empty(m, np.int64)
+                rank[r] = np.arange(m)
+                bw_intra = max(
+                    bw_intra, int(np.abs(rank[sub[0]] - rank[sub[1]]).max())
+                )
+            base += m
+        if bw_intra <= target_tile or q == 64:
+            return new_perm, bw_intra
+    return perm, bw  # unreachable
+
+
+def hybrid_widths(
+    edge_index: np.ndarray, n: int, granularity: int = 8,
+    max_out_frac: float = 0.35, tile: int | None = None,
+) -> tuple[int, int, int, int]:
+    """Band+boundary-table hybrid sizing for a level whose full bandwidth
+    exceeds MAX_BAND_TILE (order with `order_for_band` first).
+
+    Picks the smallest tile whose 3T window covers >= (1 - max_out_frac)
+    of the real edges; the rest become the compact boundary set.  Returns
+    (tile, m_b, k_b, r_b, s_b) — all 0 when no tile qualifies (callers
+    fall back to block-sparse): m_b = boundary ROWS (padded), k_b = max
+    boundary edges per row, r_b = max occurrences of one source column in
+    the boundary table (compact reverse width), s_b = distinct boundary
+    SOURCE columns (padded; sizes the compact reverse table)."""
+    row = edge_index[0].astype(np.int64)
+    col = edge_index[1].astype(np.int64)
+    real = row != col
+    row, col = row[real], col[real]
+    if row.size == 0:
+        return 0, 0, 0, 0, 0
+    import os as _os
+
+    forced = bool(tile)
+    if tile:
+        candidates = (tile,)
+    elif "GBN_HYBRID_TILE" in _os.environ:  # perf-sweep override
+        candidates = (int(_os.environ["GBN_HYBRID_TILE"]),)
+        forced = True
+    else:  # MAX_BAND_TILE looked up at call time (tests monkeypatch it).
+        # Floor at 256: measured on the 327k facet L1 (examples/
+        # probe_f1_327k.py), tile 128 moves intra edges into the boundary
+        # tables (77k rows, kb 10) and loses 2x end-to-end; 256 vs 384 are
+        # within 8% with 256 ahead.
+        candidates = sorted(
+            {t for t in (256, 384, 512, 640) if t < MAX_BAND_TILE}
+            | {MAX_BAND_TILE}
+        )
+    for t in candidates:
+        w = col - (row // t - 1) * t
+        out = (w < 0) | (w >= 3 * t)
+        if out.mean() <= max_out_frac or forced:
+            if not out.any():
+                return t, 0, 0, 0, 0  # pure band after all
+            rows_b = np.unique(row[out])
+            m_b = round_up(int(rows_b.size), granularity)
+            k_b = round_up(int(np.bincount(row[out]).max()), granularity)
+            r_b = round_up(int(np.bincount(col[out], minlength=n).max()),
+                           granularity)
+            s_b = round_up(int(np.unique(col[out]).size), granularity)
+            return t, m_b, k_b, r_b, s_b
+    return 0, 0, 0, 0, 0
+
+
+def hybrid_arrays_np(
+    edge_index: np.ndarray, n_band: int, tile: int,
+    m_b: int, k_b: int, r_b: int, s_b: int,
+) -> dict:
+    """Build the hybrid structures: band mask over in-window edges plus a
+    COMPACT boundary table for the rest — compact on BOTH sides (rows_b
+    lists only rows with out-of-window edges; src_b/rev_b cover only the
+    distinct boundary sources, so forward gathers O(m_b*k_b) rows and
+    backward O(s_b*r_b), never O(N * anything); the full-width reverse
+    measured ~60 ms/conv at 327k).
+
+      m       (B, T, 3T) int8   in-window edges
+      rows_b  (m_b,)     int32  boundary rows (trash-padded)
+      nbr_b   (m_b, k_b) int32  their out-of-window neighbors
+      kmask_b (m_b, k_b) f32
+      src_b   (s_b,)     int32  distinct boundary sources (trash-padded)
+      rev_b   (s_b, r_b) int32  positions of src_b[s] in flat nbr_b
+                                 (pad = m_b * k_b) — table_gather_compact
+    """
+    row = edge_index[0].astype(np.int64)
+    col = edge_index[1].astype(np.int64)
+    real = row != col
+    w = col - (row // tile - 1) * tile
+    out = real & ((w < 0) | (w >= 3 * tile))
+
+    ei_in = edge_index[:, ~out]
+    m = band_mask_np(ei_in, n_band, tile, check_bw=False)
+
+    trash = n_band - 1
+    rows_u, inv_r = np.unique(row[out], return_inverse=True)
+    assert rows_u.size <= m_b, (rows_u.size, m_b)
+    rows_b = np.full(m_b, trash, np.int32)
+    rows_b[: rows_u.size] = rows_u
+    nbr_b = np.full((m_b, k_b), trash, np.int32)
+    kmask_b = np.zeros((m_b, k_b), np.float32)
+    slot = np.zeros(rows_u.size, np.int64)
+    flat_pos = np.empty(out.sum(), np.int64)  # position of each boundary
+    for e, (e_r, e_c) in enumerate(zip(inv_r, col[out])):
+        nbr_b[e_r, slot[e_r]] = e_c
+        kmask_b[e_r, slot[e_r]] = 1.0
+        flat_pos[e] = e_r * k_b + slot[e_r]
+        slot[e_r] += 1
+
+    # compact reverse: per distinct source column, its positions in nbr_b
+    srcs_u, src_inv = np.unique(col[out], return_inverse=True)
+    assert srcs_u.size <= s_b, (srcs_u.size, s_b)
+    r_used = int(np.bincount(src_inv).max()) if srcs_u.size else 0
+    assert r_used <= r_b, (r_used, r_b)
+    src_b = np.full(s_b, trash, np.int32)
+    src_b[: srcs_u.size] = srcs_u
+    rev_b = np.full((s_b, r_b), m_b * k_b, np.int32)
+    rslot = np.zeros(srcs_u.size, np.int64)
+    for s, fp in zip(src_inv, flat_pos):
+        rev_b[s, rslot[s]] = fp
+        rslot[s] += 1
+    return dict(m=m, rows_b=rows_b, nbr_b=nbr_b, kmask_b=kmask_b,
+                src_b=src_b, rev_b=rev_b)
 
 
 # --------------------------------------------------------------------------

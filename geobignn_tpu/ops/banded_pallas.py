@@ -380,6 +380,43 @@ def _banded_aggregate_bwd(compute_dtype, vma, res, gout):
 _banded_aggregate_kernel.defvjp(_banded_aggregate_fwd, _banded_aggregate_bwd)
 
 
+def feast_conv_hybrid(
+    params, x, m, rows_b, nbr_b, kmask_b, src_b, rev_b, deg, *,
+    compute_dtype=jnp.bfloat16,
+):
+    """Band + boundary-table hybrid FeaStConv (slab-RCM node order,
+    ops/banded.order_for_band / hybrid_arrays_np): in-window edges run the
+    banded Pallas aggregate; the small out-of-window boundary runs a
+    compact per-edge softmax correction over `rows_b` only.  The FeaSt
+    softmax is per-edge, so the two partial aggregates are exactly
+    additive; `deg` counts BOTH edge sets.  Single-chip analog of
+    parallel.partition.halo_feast_conv_banded (there the boundary lives in
+    halo buffers; here everything is resident, so the correction is a
+    gather + scatter-add over the M_b boundary rows)."""
+    from geobignn_tpu.ops import table as tbl
+
+    a = x @ params.u
+    p = jnp.exp(a - jax.lax.stop_gradient(a.max(axis=1, keepdims=True)))
+    ca = params.c - a
+    r = jnp.exp(ca - jax.lax.stop_gradient(ca.max(axis=1, keepdims=True)))
+    num = banded_aggregate(r, p, x, params.w, m, compute_dtype)
+
+    x_i = x[rows_b]  # (M_b, C); unique rows -> cheap scatter in backward
+    xnb = tbl.table_gather_compact(x, nbr_b, src_b, rev_b)  # (M_b, K_b, C)
+    s = jnp.einsum("mkc,ch->mkh", xnb - x_i[:, None, :], params.u) + params.c
+    q = jax.nn.softmax(s, axis=-1) * kmask_b[..., None]
+    z = jnp.einsum("mkh,mkc->mhc", q, xnb)
+    corr = jnp.einsum("mhc,hco->mo", z, params.w)
+    # trash-padded rows_b carry kmask 0 -> corr 0 -> harmless dup adds
+    num = num.at[rows_b].add(corr)
+
+    s_self = jax.nn.softmax(params.c)
+    w_self = jnp.einsum("h,hio->io", s_self, params.w)
+    out = num + jnp.dot(x, w_self, preferred_element_type=jnp.float32)
+    out = out / (deg + 1.0)[:, None]
+    return out + params.b
+
+
 def feast_conv_banded_pallas(
     params, x, m, deg, *, compute_dtype=jnp.bfloat16, interpret=False
 ):

@@ -205,7 +205,8 @@ def build_pool_level(
     if reorder and ei.shape[1] > 0:
         from geobignn_tpu.ops import banded
 
-        perm = banded.rcm_order(ei.astype(np.int64), n)  # new -> old
+        # slab-RCM fallback when plain RCM is over-wide (hybrid conv)
+        perm, _ = banded.order_for_band(ei, n)  # new -> old
         inv = np.empty(n, np.int64)
         inv[perm] = np.arange(n)
         clusters[-1] = inv[clusters[-1]]

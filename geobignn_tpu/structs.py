@@ -87,6 +87,14 @@ class GraphLevel(struct.PyTreeNode):
     # ops/blocksparse.py W=K*T when blk_idx is set; needs RCM node order)
     blk_idx: jax.Array | None = None  # (B, K) int32 column-block ids for
     # the block-sparse formulation (None = contiguous 3T band)
+    # hybrid band+boundary mode (ops/banded.hybrid_arrays_np, slab-RCM
+    # order): band holds the in-window edges, the compact tables below the
+    # out-of-window rest — additive because the FeaSt softmax is per-edge
+    rows_b: jax.Array | None = None  # (M_b,) int32 boundary rows
+    nbr_b: jax.Array | None = None  # (M_b, K_b) int32 boundary neighbors
+    kmask_b: jax.Array | None = None  # (M_b, K_b) f32
+    src_b: jax.Array | None = None  # (S_b,) int32 distinct boundary sources
+    rev_b: jax.Array | None = None  # (S_b, R_b) int32 compact reverse table
 
 
 class PoolStep(struct.PyTreeNode):

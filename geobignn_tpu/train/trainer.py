@@ -93,6 +93,7 @@ class Trainer:
                 force_depth=cfg.force_depth, pool_type=cfg.pool_type, heads=cfg.heads,
                 fusion=cfg.fusion_features,
                 compute_dtype=jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32,
+                fc_dtype=jnp.bfloat16 if cfg.fc_precision == "bfloat16" else None,
             )
         self.tx = optim.make_optimizer(cfg)
 
@@ -126,6 +127,7 @@ class Trainer:
                 heads=cfg.heads, gp_axis="gp",
                 fusion=cfg.fusion_features,
                 compute_dtype=self.model.compute_dtype,
+                fc_dtype=self.model.fc_dtype,
             )
             self._global_batch = cfg.dcn * cfg.dp * cfg.batch_size
             batch0 = parallel.stack_samples(

@@ -116,6 +116,28 @@ def test_cross_domain_gradients(model_out):
 
 
 @pytest.mark.slow
+def test_fc_bf16_heads_close_to_f32(model_out):
+    """The bf16 fc-head mode (production default, +4% measured on v5e):
+    same param tree, outputs within bf16 tolerance of the f32 heads —
+    everything outside the two head matmuls is bit-identical."""
+    sample, plan, model, params, vert_p, norm_p = model_out
+    m16 = DualGNN(fc_dtype=jnp.bfloat16)
+    v16, n16 = jax.jit(m16.apply)(params, sample)
+    assert jax.tree_util.tree_structure(
+        m16.init(jax.random.PRNGKey(0), sample)
+    ) == jax.tree_util.tree_structure(params)
+    # head outputs feed a residual on ~unit-scale positions: bf16 has ~2-3
+    # decimal digits, so 0.02 absolute is the expected regime
+    assert np.abs(np.asarray(v16) - np.asarray(vert_p)).max() < 0.05
+    assert np.abs(np.asarray(n16) - np.asarray(norm_p)).max() < 0.1
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(n16), axis=1)
+        * np.asarray(sample.f.levels[0].node_mask)
+        + (1 - np.asarray(sample.f.levels[0].node_mask)),
+        1.0, atol=1e-2,
+    )
+
+
 def test_force_depth_head():
     m_o = synth.icosphere(2)
     m_n = synth.add_noise(m_o, 0.15, seed=1)
