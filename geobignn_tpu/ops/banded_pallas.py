@@ -72,6 +72,151 @@ def _rwide_T(rt, c_in, heads):
     )
 
 
+def _strip_scale(pw, yT, heads, compute_dtype):
+    """out[h*S + s, w] = p_h(w) * yT[h*S + s, w] — per-head row-broadcast
+    scaling of an (H*S, W) strip stack (sublane-cheap, like _xpw_T but for
+    operands that already differ per head)."""
+    s = yT.shape[0] // heads
+    return jnp.concatenate(
+        [pw[h][None, :] * yT[h * s : (h + 1) * s] for h in range(heads)],
+        axis=0,
+    ).astype(compute_dtype)
+
+
+def _head_sum_mat(heads, s, compute_dtype):
+    """(H*S, H) block indicator: col h sums strip h's rows (one MXU matmul
+    computes all per-head strip column-sums)."""
+    hs = heads * s
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hs, heads), 0) // s
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hs, heads), 1)
+    return (rows == cols).astype(compute_dtype)
+
+
+def _out_sum_mat(heads, c_out, compute_dtype):
+    """(C_out, H*C_out) indicator O[o, h*Co + o'] = [o == o']: one matmul
+    folds the head strips of a (H*Co, T) stack into the (Co, T) output."""
+    hco = heads * c_out
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c_out, hco), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (c_out, hco), 1) % c_out
+    return (rows == cols).astype(compute_dtype)
+
+
+def _fwd_kernel_tf(rt_ref, pt0, pt1, pt2, xt0, xt1, xt2, m_ref, w2_ref,
+                   out_ref, *, heads: int, compute_dtype):
+    """Transform-first forward for C_out < C_in: per-head features are
+    mapped to C_out space BEFORE the window aggregate, so the dominant
+    (·, W)x(W, T) matmul runs at H*C_out sublanes instead of H*C_in —
+    a C_in/C_out FLOP cut on the window work (ROADMAP r3 item: ~1.45-2x).
+
+      yT    = W2 @ xT                 (H*Co, W)   per-head transform
+      ypwT  = p ⊙ yT (head strips)
+      zT    = ypwT @ (M/D)^T          (H*Co, T)   THE window matmul
+      outT  = O (zT ⊙ rw)             (Co, T)     head-sum via indicator
+    """
+    rt, pw, xwt, mf, d = _common_T(rt_ref, (pt0, pt1, pt2), (xt0, xt1, xt2), m_ref)
+    _fwd_body_tf(rt, pw, xwt, mf, d, w2_ref, out_ref, heads, compute_dtype)
+
+
+def _fwd_body_tf(rt, pw, xwt, mf, d, w2_ref, out_ref, heads, compute_dtype):
+    c_out = w2_ref.shape[0] // heads
+    minv = (mf / jnp.maximum(d, 1e-12)).astype(compute_dtype)
+
+    w2 = w2_ref[:].astype(compute_dtype)  # (H*Co, C_in)
+    yT = jax.lax.dot_general(  # (H*Co, W)
+        w2, xwt.astype(compute_dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ypwT = _strip_scale(pw, yT, heads, compute_dtype)
+    zT = jax.lax.dot_general(  # (H*Co, T)
+        ypwT, minv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    zrT = (zT * _rwide_T(rt, c_out, heads)).astype(compute_dtype)
+    out_ref[0] = jax.lax.dot_general(  # (Co, T)
+        _out_sum_mat(heads, c_out, compute_dtype), zrT,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def _bwd_kernel_tf(rt_ref, pt0, pt1, pt2, xt0, xt1, xt2, m_ref, w2_ref,
+                   gt_ref, rbar_ref, pbar_ref, xbar_ref, wbar_ref,
+                   *, heads: int, compute_dtype):
+    """Transform-first backward: the three T-scale window matmuls (zT
+    recompute, ȳpw, K) run at H*C_out sublanes; x̄/W̄ close over the W-wide
+    transform (no T factor — cheap).
+
+      z̄T   = tile_H(ḡ) ⊙ rw          r̄_direct = Σ_strips ḡ ⊙ zT
+      ȳpwT = z̄T @ (M/D)              ȳT = p ⊙ ȳpw
+      K    = z̄T^T·ypwT (contract HCo) → d̄ = -(M/D²) ⊙ K → r̄_d, p̄_d
+      p̄_direct = Σ_strips yT ⊙ ȳpw
+      x̄T   = W2^T ȳT ;  W̄2 = ȳT xT^T
+    """
+    rt, pw, xwt, mf, d = _common_T(rt_ref, (pt0, pt1, pt2), (xt0, xt1, xt2), m_ref)
+    _bwd_body_tf(rt, pw, xwt, mf, d, w2_ref, gt_ref,
+                 rbar_ref, pbar_ref, xbar_ref, wbar_ref, heads, compute_dtype)
+
+
+def _bwd_body_tf(rt, pw, xwt, mf, d, w2_ref, gt_ref,
+                 rbar_ref, pbar_ref, xbar_ref, wbar_ref, heads, compute_dtype):
+    c_out = w2_ref.shape[0] // heads
+    gt = gt_ref[0]  # (C_out, T)
+
+    dinv = 1.0 / jnp.maximum(d, 1e-12)
+    minv = mf * dinv
+    minv_c = minv.astype(compute_dtype)
+    mdd = jnp.where(d > 1e-12, -minv * dinv, 0.0)
+
+    xwt_c = xwt.astype(compute_dtype)
+    w2 = w2_ref[:].astype(compute_dtype)
+    yT = jax.lax.dot_general(  # (H*Co, W) forward recompute
+        w2, xwt_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ypwT = _strip_scale(pw, yT, heads, compute_dtype)
+    zT = jax.lax.dot_general(  # (H*Co, T)
+        ypwT, minv_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gz = jnp.concatenate([gt] * heads, axis=0)  # (H*Co, T) head-tiled ḡ
+    ones_h = _head_sum_mat(heads, c_out, compute_dtype)
+    rbar_direct = jax.lax.dot_general(  # (H, T)
+        ones_h, (gz * zT).astype(compute_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    zbar = (gz * _rwide_T(rt, c_out, heads)).astype(compute_dtype)
+    ybarpw = jax.lax.dot_general(  # (H*Co, W)
+        zbar, minv_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    k = jax.lax.dot_general(  # (T, W) denominator path
+        zbar, ypwT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbar = mdd * k
+    rbar_d = jax.lax.dot_general(  # (H, T)
+        pw, dbar, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    pbar_direct = jax.lax.dot_general(  # (H, W)
+        ones_h, (yT * ybarpw).astype(compute_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pbar_d = jax.lax.dot_general(  # (H, W)
+        rt, dbar, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ybarT = _strip_scale(pw, ybarpw, heads, compute_dtype)  # ȳT = p ⊙ ȳpw
+    xbar_ref[0] = jax.lax.dot_general(  # (C_in, W)
+        w2, ybarT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    wbar_ref[0] = jax.lax.dot_general(  # (H*Co, C_in)
+        ybarT, xwt_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rbar_ref[0] = rbar_direct + rbar_d
+    pbar_ref[0] = pbar_direct + pbar_d
+
+
 def _fwd_kernel(rt_ref, pt0, pt1, pt2, xt0, xt1, xt2, m_ref, w_ref, out_ref,
                 *, heads: int, compute_dtype):
     """outT = W^T ((xpwT @ (M/D)^T) ⊙ rwT), all heads flattened into the
@@ -176,9 +321,10 @@ def _bwd_kernel(rt_ref, pt0, pt1, pt2, xt0, xt1, xt2, m_ref, w_ref, gt_ref,
     xbar_ref[0] = xbarT
 
 
-def _specs(n_blk, tile, heads, c_in, c_out, with_gout: bool):
+def _specs(n_blk, tile, heads, c_in, c_out, with_gout: bool, tf: bool = False):
     w = 3 * tile
     v = pltpu.VMEM
+    w_shape = (heads * c_out, c_in) if tf else (heads * c_in, c_out)
     ins = [
         pl.BlockSpec((1, heads, tile), lambda b: (b, 0, 0), memory_space=v),  # rT
         pl.BlockSpec((1, heads, tile), lambda b: (b, 0, 0), memory_space=v),  # pT b-1
@@ -188,11 +334,24 @@ def _specs(n_blk, tile, heads, c_in, c_out, with_gout: bool):
         pl.BlockSpec((1, c_in, tile), lambda b: (b + 1, 0, 0), memory_space=v),
         pl.BlockSpec((1, c_in, tile), lambda b: (b + 2, 0, 0), memory_space=v),
         pl.BlockSpec((1, tile, w), lambda b: (b, 0, 0), memory_space=v),  # mask
-        pl.BlockSpec((heads * c_in, c_out), lambda b: (0, 0), memory_space=v),
+        pl.BlockSpec(w_shape, lambda b: (0, 0), memory_space=v),
     ]
     if with_gout:
         ins.append(pl.BlockSpec((1, c_out, tile), lambda b: (b, 0, 0), memory_space=v))
     return ins
+
+
+def _use_tf(c_in: int, c_out: int) -> bool:
+    """Transform-first pays whenever the window matmuls shrink; ablation
+    escape hatch: GBN_NO_TF=1 reproduces the aggregate-first schedule."""
+    import os
+
+    return c_out < c_in and os.environ.get("GBN_NO_TF") != "1"
+
+
+def _w2_of(w, heads, c_in, c_out):
+    """(H, C_in, C_out) -> (H*C_out, C_in): w2[h*Co + o, c] = w[h, c, o]."""
+    return jnp.moveaxis(w, 1, 2).reshape(heads * c_out, c_in)
 
 
 def _pad_blocks_T(arr, tile):
@@ -272,17 +431,24 @@ def _call_fwd(r, p, x, w, m, compute_dtype, vma=None):
     n, c_in = x.shape
     heads = r.shape[1]
     c_out = w.shape[2]
-    w_flat = w.reshape(heads * c_in, c_out)
+    tf = _use_tf(c_in, c_out)
+    if tf:
+        w_flat = _w2_of(w, heads, c_in, c_out)
+        flops = int(2 * n * win * (heads * (c_out + 1) + heads * c_in / 3))
+        kern = _fwd_kernel_tf
+    else:
+        w_flat = w.reshape(heads * c_in, c_out)
+        flops = int(2 * n * win * (heads * (c_in + 1) + heads * c_out / 3))
+        kern = _fwd_kernel
     if vma is not None:  # lift replicated operands to the varying set
         w_flat = jax.lax.pcast(w_flat, tuple(vma), to='varying')
     rt = jnp.moveaxis(r.reshape(n_blk, tile, heads), -1, -2)  # (B, H, T)
     pt = _pad_blocks_T(p, tile)  # (B+2, H, T)
     xt = _pad_blocks_T(x, tile)  # (B+2, C, T)
-    flops = int(2 * n * win * (heads * (c_in + 1) + heads * c_out / 3))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=heads, compute_dtype=compute_dtype),
+        functools.partial(kern, heads=heads, compute_dtype=compute_dtype),
         grid=(n_blk,),
-        in_specs=_specs(n_blk, tile, heads, c_in, c_out, False),
+        in_specs=_specs(n_blk, tile, heads, c_in, c_out, False, tf),
         out_specs=pl.BlockSpec(
             (1, c_out, tile), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -330,7 +496,15 @@ def _banded_aggregate_bwd(compute_dtype, vma, res, gout):
     n, c_in = x.shape
     heads = r.shape[1]
     c_out = w.shape[2]
-    w_flat = w.reshape(heads * c_in, c_out)
+    tf = _use_tf(c_in, c_out)
+    if tf:
+        w_flat = _w2_of(w, heads, c_in, c_out)
+        wbar_shape = (heads * c_out, c_in)
+        kern = _bwd_kernel_tf
+    else:
+        w_flat = w.reshape(heads * c_in, c_out)
+        wbar_shape = (heads * c_in, c_out)
+        kern = _bwd_kernel
     if vma is not None:
         w_flat = jax.lax.pcast(w_flat, tuple(vma), to='varying')
     rt = jnp.moveaxis(r.reshape(n_blk, tile, heads), -1, -2)
@@ -341,23 +515,23 @@ def _banded_aggregate_bwd(compute_dtype, vma, res, gout):
     )  # (B, C_out, T)
 
     rbar, pbar, xbar, wbar = pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=heads, compute_dtype=compute_dtype),
+        functools.partial(kern, heads=heads, compute_dtype=compute_dtype),
         grid=(n_blk,),
-        in_specs=_specs(n_blk, tile, heads, c_in, c_out, True),
+        in_specs=_specs(n_blk, tile, heads, c_in, c_out, True, tf),
         out_specs=(
             pl.BlockSpec((1, heads, tile), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, heads, win), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_in, win), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             # per-block W̄ slabs, reduced in XLA: a revisited accumulator
             # block would serialize the grid pipeline
-            pl.BlockSpec((1, heads * c_in, c_out), lambda b: (b, 0, 0),
+            pl.BlockSpec((1,) + wbar_shape, lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             _sds((n_blk, heads, tile), vma),
             _sds((n_blk, heads, win), vma),
             _sds((n_blk, c_in, win), vma),
-            _sds((n_blk, heads * c_in, c_out), vma),
+            _sds((n_blk,) + wbar_shape, vma),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -369,7 +543,12 @@ def _banded_aggregate_bwd(compute_dtype, vma, res, gout):
     dp = _fold_windows_T(pbar, tile, n)  # (N, H)
     dx = _fold_windows_T(xbar, tile, n)  # (N, C_in)
     dm = np.zeros(m.shape, jax.dtypes.float0)  # int mask: no cotangent
-    dw = wbar.sum(axis=0).reshape(heads, c_in, c_out)
+    if tf:
+        dw = jnp.moveaxis(
+            wbar.sum(axis=0).reshape(heads, c_out, c_in), 1, 2
+        )
+    else:
+        dw = wbar.sum(axis=0).reshape(heads, c_in, c_out)
     if vma is not None:
         # w binds replicated: built-in ops get this psum from the pvary
         # transpose, a custom VJP must reduce its own cotangent

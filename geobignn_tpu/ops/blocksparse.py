@@ -34,7 +34,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from geobignn_tpu.ops.banded_pallas import _interpret, _rwide_T, _xpw_T
+from geobignn_tpu.ops.banded_pallas import (
+    _bwd_body_tf,
+    _fwd_body_tf,
+    _interpret,
+    _rwide_T,
+    _use_tf,
+    _w2_of,
+    _xpw_T,
+)
 from geobignn_tpu.structs import round_up
 
 def bs_tile() -> int:
@@ -139,6 +147,20 @@ def _window_ops_T(rt_ref, pts, xts, m_ref):
     return rt, pw, xwt, mf, d
 
 
+def _fwd_kernel_tf(*args, k: int, heads: int, compute_dtype):
+    rt_ref, pts, xts, (m_ref, w2_ref), (out_ref,) = _parse(args, k, 1)
+    rt, pw, xwt, mf, d = _window_ops_T(rt_ref, pts, xts, m_ref)
+    _fwd_body_tf(rt, pw, xwt, mf, d, w2_ref, out_ref, heads, compute_dtype)
+
+
+def _bwd_kernel_tf(*args, k: int, heads: int, compute_dtype):
+    (rt_ref, pts, xts, (m_ref, w2_ref, gt_ref),
+     (rbar_ref, pbar_ref, xbar_ref, wbar_ref)) = _parse(args, k, 4)
+    rt, pw, xwt, mf, d = _window_ops_T(rt_ref, pts, xts, m_ref)
+    _bwd_body_tf(rt, pw, xwt, mf, d, w2_ref, gt_ref,
+                 rbar_ref, pbar_ref, xbar_ref, wbar_ref, heads, compute_dtype)
+
+
 def _fwd_kernel(*args, k: int, heads: int, compute_dtype):
     rt_ref, pts, xts, (m_ref, w_ref), (out_ref,) = _parse(args, k, 1)
     rt, pw, xwt, mf, d = _window_ops_T(rt_ref, pts, xts, m_ref)
@@ -225,11 +247,12 @@ def _bwd_kernel(*args, k: int, heads: int, compute_dtype):
     xbar_ref[0] = xbarT
 
 
-def _specs(k, tile, heads, c_in, c_out, with_gout: bool):
+def _specs(k, tile, heads, c_in, c_out, with_gout: bool, tf: bool = False):
     """Input specs AFTER the scalar-prefetch operand.  Index maps receive
     (b, idx_ref); the j-th window operand reads block idx_ref[b, j]."""
     v = pltpu.VMEM
     own = lambda b, idx: (b, 0, 0)
+    w_shape = (heads * c_out, c_in) if tf else (heads * c_in, c_out)
 
     def at(j):
         return lambda b, idx: (idx[b, j], 0, 0)
@@ -242,10 +265,7 @@ def _specs(k, tile, heads, c_in, c_out, with_gout: bool):
         pl.BlockSpec((1, c_in, tile), at(j), memory_space=v) for j in range(k)
     ]
     ins.append(pl.BlockSpec((1, tile, k * tile), own, memory_space=v))  # mask
-    ins.append(
-        pl.BlockSpec((heads * c_in, c_out), lambda b, idx: (0, 0),
-                     memory_space=v)
-    )
+    ins.append(pl.BlockSpec(w_shape, lambda b, idx: (0, 0), memory_space=v))
     if with_gout:
         ins.append(pl.BlockSpec((1, c_out, tile), own, memory_space=v))
     return ins
@@ -308,15 +328,20 @@ def _call_fwd(r, p, x, w, m, blk_idx, compute_dtype):
     n, c_in = x.shape
     heads = r.shape[1]
     c_out = w.shape[2]
-    w_flat = w.reshape(heads * c_in, c_out)
+    tf = _use_tf(c_in, c_out)
+    if tf:
+        w_flat = _w2_of(w, heads, c_in, c_out)
+        flops = int(2 * n * win * (heads * (c_out + 1) + heads * c_in / 3))
+    else:
+        w_flat = w.reshape(heads * c_in, c_out)
+        flops = int(2 * n * win * (heads * (c_in + 1) + heads * c_out / 3))
     rt = jnp.moveaxis(r.reshape(n_blk, tile, heads), -1, -2)  # (B, H, T)
     pt = jnp.moveaxis(p.reshape(n_blk, tile, heads), -1, -2)  # (B, H, T)
     xt = jnp.moveaxis(x.reshape(n_blk, tile, c_in), -1, -2)  # (B, C, T)
-    flops = int(2 * n * win * (heads * (c_in + 1) + heads * c_out / 3))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blk,),
-        in_specs=_specs(k, tile, heads, c_in, c_out, False),
+        in_specs=_specs(k, tile, heads, c_in, c_out, False, tf),
         out_specs=pl.BlockSpec(
             (1, c_out, tile), lambda b, idx: (b, 0, 0),
             memory_space=pltpu.VMEM,
@@ -324,7 +349,8 @@ def _call_fwd(r, p, x, w, m, blk_idx, compute_dtype):
     )
     out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, k=k, heads=heads, compute_dtype=compute_dtype
+            _fwd_kernel_tf if tf else _fwd_kernel,
+            k=k, heads=heads, compute_dtype=compute_dtype
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blk, c_out, tile), jnp.float32),
@@ -365,7 +391,13 @@ def _bs_bwd(compute_dtype, res, gout):
     n, c_in = x.shape
     heads = r.shape[1]
     c_out = w.shape[2]
-    w_flat = w.reshape(heads * c_in, c_out)
+    tf = _use_tf(c_in, c_out)
+    if tf:
+        w_flat = _w2_of(w, heads, c_in, c_out)
+        wbar_shape = (heads * c_out, c_in)
+    else:
+        w_flat = w.reshape(heads * c_in, c_out)
+        wbar_shape = (heads * c_in, c_out)
     rt = jnp.moveaxis(r.reshape(n_blk, tile, heads), -1, -2)
     pt = jnp.moveaxis(p.reshape(n_blk, tile, heads), -1, -2)
     xt = jnp.moveaxis(x.reshape(n_blk, tile, c_in), -1, -2)
@@ -376,7 +408,7 @@ def _bs_bwd(compute_dtype, res, gout):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blk,),
-        in_specs=_specs(k, tile, heads, c_in, c_out, True),
+        in_specs=_specs(k, tile, heads, c_in, c_out, True, tf),
         out_specs=(
             pl.BlockSpec((1, heads, tile), lambda b, idx: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -384,20 +416,21 @@ def _bs_bwd(compute_dtype, res, gout):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_in, win), lambda b, idx: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, heads * c_in, c_out), lambda b, idx: (b, 0, 0),
+            pl.BlockSpec((1,) + wbar_shape, lambda b, idx: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
     rbar, pbar, xbar, wbar = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, k=k, heads=heads, compute_dtype=compute_dtype
+            _bwd_kernel_tf if tf else _bwd_kernel,
+            k=k, heads=heads, compute_dtype=compute_dtype
         ),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_blk, heads, tile), jnp.float32),
             jax.ShapeDtypeStruct((n_blk, heads, win), jnp.float32),
             jax.ShapeDtypeStruct((n_blk, c_in, win), jnp.float32),
-            jax.ShapeDtypeStruct((n_blk, heads * c_in, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((n_blk,) + wbar_shape, jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
@@ -410,7 +443,10 @@ def _bs_bwd(compute_dtype, res, gout):
     dx = _fold_blocks_T(xbar, blk_idx, n_blk, tile, n)
     dm = np.zeros(m.shape, jax.dtypes.float0)
     dik = np.zeros(blk_idx.shape, jax.dtypes.float0)
-    dw = wbar.sum(axis=0).reshape(heads, c_in, c_out)
+    if tf:
+        dw = jnp.moveaxis(wbar.sum(axis=0).reshape(heads, c_out, c_in), 1, 2)
+    else:
+        dw = wbar.sum(axis=0).reshape(heads, c_in, c_out)
     return dr, dp, dx, dw, dm, dik
 
 
