@@ -77,3 +77,57 @@ def test_pallas_gradients_match_xla_banded():
     for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gp_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_transform_first_matches_aggregate_first(monkeypatch):
+    """The C_out-space (transform-first) schedule and the C_in-space
+    (aggregate-first) schedule are the same math on different matmul
+    shapes — outputs and every gradient must agree.  c_out < c_in routes
+    tf by default; GBN_NO_TF=1 forces the original schedule."""
+    params, x, m, deg, n = _setup(seed=4, c_in=8, c_out=4, heads=5)
+    g = np.random.default_rng(5).normal(size=(x.shape[0], 4)).astype(np.float32)
+    g[n:] = 0.0
+
+    def loss(p, x_):
+        return (
+            banded_pallas.feast_conv_banded_pallas(
+                p, x_, jnp.asarray(m), jnp.asarray(deg),
+                compute_dtype=jnp.float32,
+            ) * g
+        ).sum()
+
+    monkeypatch.delenv("GBN_NO_TF", raising=False)
+    out_tf = banded_pallas.feast_conv_banded_pallas(
+        params, jnp.asarray(x), jnp.asarray(m), jnp.asarray(deg),
+        compute_dtype=jnp.float32)
+    gp_tf, gx_tf = jax.grad(loss, argnums=(0, 1))(params, jnp.asarray(x))
+
+    monkeypatch.setenv("GBN_NO_TF", "1")
+    out_af = banded_pallas.feast_conv_banded_pallas(
+        params, jnp.asarray(x), jnp.asarray(m), jnp.asarray(deg),
+        compute_dtype=jnp.float32)
+    gp_af, gx_af = jax.grad(loss, argnums=(0, 1))(params, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(out_tf), np.asarray(out_af),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gx_tf)[:n], np.asarray(gx_af)[:n],
+                               rtol=5e-5, atol=5e-6)
+    for a, b in zip(jax.tree.leaves(gp_tf), jax.tree.leaves(gp_af)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+
+
+def test_aggregate_first_kept_for_widening_convs():
+    """c_out >= c_in keeps the aggregate-first schedule (tf would widen
+    the window matmuls); parity vs the XLA banded formulation."""
+    params, x, m, deg, n = _setup(seed=6, c_in=4, c_out=8, heads=5)
+    from geobignn_tpu.ops.banded_pallas import _use_tf
+
+    assert not _use_tf(4, 8)
+    ref = banded.feast_conv_banded(
+        params, jnp.asarray(x), jnp.asarray(m), jnp.asarray(deg))
+    out = banded_pallas.feast_conv_banded_pallas(
+        params, jnp.asarray(x), jnp.asarray(m), jnp.asarray(deg),
+        compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref)[:n],
+                               rtol=2e-4, atol=2e-5)
