@@ -74,11 +74,12 @@ def _host_build(subdiv: int, tables_only: bool):
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "processed_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    # v3: slab-RCM ordering for over-wide graphs (hybrid band+table conv);
-    # order-affecting sweep env vars must key the cache
+    # v4: head-to-tail slab orientation (v3: slab-RCM ordering for
+    # over-wide graphs — hybrid band+table conv); order-affecting sweep
+    # env vars must key the cache
     slab = "0" if os.environ.get("GBN_NO_SLAB") == "1" else "1"
     mbt = os.environ.get("GBN_MAX_BAND_TILE", "768")
-    token = (f"v3_s{subdiv}_r{int(bc.reorder)}_g{bc.granularity}"
+    token = (f"v4_s{subdiv}_r{int(bc.reorder)}_g{bc.granularity}"
              f"_sl{slab}_mbt{mbt}")
     path = os.path.join(cache_dir, f"bench_host_{token}.pkl")
     if os.path.exists(path):

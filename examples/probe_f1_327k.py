@@ -32,7 +32,7 @@ def _host_structs():
     from geobignn_tpu.structs import round_up
 
     cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "processed_cache", "probe_f1_v2.pkl")
+        os.path.abspath(__file__))), "processed_cache", "probe_f1_v3.pkl")
     if os.path.exists(cache):
         with open(cache, "rb") as fh:
             return pickle.load(fh)

@@ -81,7 +81,14 @@ def main():
                 return body(c, *d)
 
             out = jax.lax.fori_loop(0, k, step, init)
-            return jax.tree.leaves(out)[0].ravel()[:1]
+            # sink EVERY carry leaf: XLA's while-loop tuple simplifier
+            # dead-codes carry components that don't reach the return
+            # value (observed: returning only leaf 0 — a bias whose grad
+            # is a mask-sum constant — collapsed whole conv probes to 0 ms)
+            return sum(
+                l.ravel()[:1].astype(jnp.float32).sum()
+                for l in jax.tree.leaves(out)
+            ).reshape(1)
 
         return lambda k: f(k, *data)
 

@@ -483,15 +483,31 @@ def attach_band(
                 mask = banded.band_mask_np(ei, n_band, htile, check_bw=False)
                 levels.append(lvl.replace(band=mask))
             else:
-                arrs = banded.hybrid_arrays_np(
-                    ei, n_band, htile,
-                    max(mb, mb2), max(kb, kb2), max(rb, rb2), max(sb, sb2),
-                )
-                levels.append(lvl.replace(
-                    band=arrs["m"], rows_b=arrs["rows_b"],
-                    nbr_b=arrs["nbr_b"], kmask_b=arrs["kmask_b"],
-                    src_b=arrs["src_b"], rev_b=arrs["rev_b"],
-                ))
+                # boundary correction, preferred mode: banded sub-graph
+                # over the junction nodes (same Pallas kernel at a tiny
+                # tile); compact tables only when the sub-graph's own
+                # bandwidth is too large (GBN_NO_JBAND=1: ablation)
+                jarrs = None
+                if os.environ.get("GBN_NO_JBAND") != "1":
+                    jarrs = banded.boundary_band_np(ei, n_band, htile)
+                if jarrs is not None:
+                    keep = ~banded.out_of_window(ei, htile)
+                    mask = banded.band_mask_np(
+                        ei[:, keep], n_band, htile, check_bw=False)
+                    levels.append(lvl.replace(
+                        band=mask, jnodes=jarrs["jnodes"],
+                        jband=jarrs["jband"],
+                    ))
+                else:
+                    arrs = banded.hybrid_arrays_np(
+                        ei, n_band, htile,
+                        max(mb, mb2), max(kb, kb2), max(rb, rb2), max(sb, sb2),
+                    )
+                    levels.append(lvl.replace(
+                        band=arrs["m"], rows_b=arrs["rows_b"],
+                        nbr_b=arrs["nbr_b"], kmask_b=arrs["kmask_b"],
+                        src_b=arrs["src_b"], rev_b=arrs["rev_b"],
+                    ))
         elif use_bs:
             bt = blocksparse.bs_tile()
             n_band = structs.round_up(n, bt)

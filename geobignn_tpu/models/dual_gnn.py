@@ -93,8 +93,17 @@ class FeaStConv(nn.Module):
                     out = blocksparse.feast_conv_blocksparse(
                         p_, xp, level.band, level.blk_idx, dp
                     )[:n1].astype(x_.dtype)
+                elif level.jnodes is not None:
+                    # band + banded-sub-graph hybrid (slab-RCM order):
+                    # boundary edges run the SAME kernel at a tiny tile
+                    from geobignn_tpu.ops import banded_pallas
+
+                    out = banded_pallas.feast_conv_hybrid_band(
+                        p_, xp, level.band, level.jnodes, level.jband, dp,
+                    )[:n1].astype(x_.dtype)
                 elif level.nbr_b is not None:
-                    # band + boundary-table hybrid (slab-RCM order)
+                    # band + boundary-table hybrid (fallback when the
+                    # boundary sub-graph's own bandwidth is too large)
                     from geobignn_tpu.ops import banded_pallas
 
                     out = banded_pallas.feast_conv_hybrid(

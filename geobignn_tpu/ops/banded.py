@@ -189,13 +189,41 @@ def order_for_band(
             sub = np.stack([idx_of[edge_index[0][sel]],
                             idx_of[edge_index[1][sel]]])
             r = rcm_order(sub, m)
-            new_perm[base : base + m] = nodes[r]
+            # Chain the slabs head-to-tail: a slab's RCM sweeps the strip
+            # end-to-end in an ARBITRARY direction, scattering junction
+            # edges (slab p end <-> slab p+1 start) across ~cap slots.
+            # Orienting every slab so nodes touching slab p-1 come FIRST
+            # (and p+1 last) puts junction endpoints within ~2 ring-widths
+            # of the slab boundary, so most cross-slab edges fall inside
+            # the hybrid's 3T window and leave the boundary-table set —
+            # measured 70% of the hybrid conv's cost at 327k faces
+            # (examples/probe_f1_327k.py: 34.45 -> 10.65 ms/conv without
+            # the correction).
             if sub.shape[1]:
                 rank = np.empty(m, np.int64)
                 rank[r] = np.arange(m)
+                vote = 0.0
+                prev_n = idx_of[np.concatenate([
+                    edge_index[0][(o_row == p) & (o_col == p - 1)],
+                    edge_index[1][(o_col == p) & (o_row == p - 1)],
+                ])] if p > 0 else np.empty(0, np.int64)
+                next_n = idx_of[np.concatenate([
+                    edge_index[0][(o_row == p) & (o_col == p + 1)],
+                    edge_index[1][(o_col == p) & (o_row == p + 1)],
+                ])] if p < q - 1 else np.empty(0, np.int64)
+                if prev_n.size:  # want prev-touching nodes EARLY
+                    vote += rank[prev_n].mean() - (m - 1) / 2.0
+                if next_n.size:  # want next-touching nodes LATE
+                    vote += (m - 1) / 2.0 - rank[next_n].mean()
+                if _os.environ.get("GBN_NO_CHAIN") == "1":  # ablation
+                    vote = 0.0
+                if vote > 0:
+                    r = r[::-1]
+                    rank = (m - 1) - rank
                 bw_intra = max(
                     bw_intra, int(np.abs(rank[sub[0]] - rank[sub[1]]).max())
                 )
+            new_perm[base : base + m] = nodes[r]
             base += m
         if bw_intra <= target_tile or q == 64:
             return new_perm, bw_intra
@@ -253,6 +281,64 @@ def hybrid_widths(
             s_b = round_up(int(np.unique(col[out]).size), granularity)
             return t, m_b, k_b, r_b, s_b
     return 0, 0, 0, 0, 0
+
+
+def out_of_window(edge_index: np.ndarray, tile: int) -> np.ndarray:
+    """Boolean mask of REAL edges outside the 3T band window (trash
+    padding rows==cols are never 'out'; band_mask_np strips them)."""
+    row = edge_index[0].astype(np.int64)
+    col = edge_index[1].astype(np.int64)
+    w = col - (row // tile - 1) * tile
+    return (row != col) & ((w < 0) | (w >= 3 * tile))
+
+
+def boundary_band_np(
+    edge_index: np.ndarray, n_band: int, tile: int,
+    max_sub_tile: int = 256, granularity: int = 128,
+) -> dict | None:
+    """Banded SUB-GRAPH correction for the hybrid conv's out-of-window
+    boundary — replaces the per-edge softmax table correction, which
+    measured 70% of the hybrid conv's cost at 327k faces
+    (examples/probe_f1_327k.py: 34.45 -> 10.65 ms/conv without it).
+
+    The boundary edges of slab-RCM-ordered meshes are junction ring-pairs
+    (adjacent rings of consecutive slabs): their sub-graph RCM bandwidth
+    collapses to ~10 (measured 11 on the 327k facet L1), so the boundary
+    aggregate can run through the SAME banded Pallas kernel at a tiny
+    tile over gathered features, instead of gather-table einsums in a
+    TPU-hostile (M, K, H) layout.  The per-edge head softmax is exact
+    under any edge split, so band + sub-band is exactly additive.
+
+    Returns dict(jnodes (S,) int32 — boundary nodes in sub-RCM order,
+    trash-padded with n_band-1; jband (Bs, Ts, 3Ts) int8) or None when
+    the sub-graph bandwidth exceeds `max_sub_tile` (callers fall back to
+    the compact-table correction)."""
+    row = edge_index[0].astype(np.int64)
+    col = edge_index[1].astype(np.int64)
+    real = row != col
+    w = col - (row // tile - 1) * tile
+    out = real & ((w < 0) | (w >= 3 * tile))
+    if not out.any():
+        return None
+    rb, cb = row[out], col[out]
+    nodes = np.unique(np.concatenate([rb, cb]))
+    n_sub = int(nodes.size)
+    pos = np.full(n_band, -1, np.int64)
+    pos[nodes] = np.arange(n_sub)
+    sub = np.stack([pos[rb], pos[cb]])
+    r = rcm_order(sub, n_sub)
+    rank = np.empty(n_sub, np.int64)
+    rank[r] = np.arange(n_sub)
+    bw_sub = int(np.abs(rank[sub[0]] - rank[sub[1]]).max())
+    jtile = pick_tile(bw_sub, granularity=granularity)
+    if jtile > max_sub_tile:
+        return None
+    n_sub_pad = round_up(n_sub, jtile)
+    jnodes = np.full(n_sub_pad, n_band - 1, np.int32)
+    jnodes[:n_sub] = nodes[r].astype(np.int32)
+    sub_r = np.stack([rank[sub[0]], rank[sub[1]]])
+    jband = band_mask_np(sub_r, n_sub_pad, jtile, check_bw=True)
+    return dict(jnodes=jnodes, jband=jband)
 
 
 def hybrid_arrays_np(

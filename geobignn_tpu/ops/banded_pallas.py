@@ -559,6 +559,38 @@ def _banded_aggregate_bwd(compute_dtype, vma, res, gout):
 _banded_aggregate_kernel.defvjp(_banded_aggregate_fwd, _banded_aggregate_bwd)
 
 
+def feast_conv_hybrid_band(
+    params, x, m, jnodes, jband, deg, *, compute_dtype=jnp.bfloat16,
+):
+    """Band + banded-SUB-GRAPH hybrid FeaStConv: in-window edges run the
+    main banded Pallas aggregate; the out-of-window boundary runs the SAME
+    kernel over gathered boundary-node features at a tiny tile (the
+    junction sub-graph's RCM bandwidth is ~10; ops/banded.boundary_band_np).
+    The per-edge head softmax is independent per edge, so the two partial
+    aggregates are exactly additive; `deg` counts BOTH edge sets.
+    Replaces the compact-table correction (measured 70% of the hybrid
+    conv's cost at 327k — examples/probe_f1_327k.py)."""
+    a = x @ params.u
+    p = jnp.exp(a - jax.lax.stop_gradient(a.max(axis=1, keepdims=True)))
+    ca = params.c - a
+    r = jnp.exp(ca - jax.lax.stop_gradient(ca.max(axis=1, keepdims=True)))
+    num = banded_aggregate(r, p, x, params.w, m, compute_dtype)
+
+    # gathered sub-problem: trash-padded jnodes point at the zero trash
+    # row; their sub-band mask rows are empty, so their aggregate is 0 and
+    # the duplicate scatter-adds below are exact no-ops
+    corr = banded_aggregate(
+        r[jnodes], p[jnodes], x[jnodes], params.w, jband, compute_dtype
+    )
+    num = num.at[jnodes].add(corr)
+
+    s_self = jax.nn.softmax(params.c)
+    w_self = jnp.einsum("h,hio->io", s_self, params.w)
+    out = num + jnp.dot(x, w_self, preferred_element_type=jnp.float32)
+    out = out / (deg + 1.0)[:, None]
+    return out + params.b
+
+
 def feast_conv_hybrid(
     params, x, m, rows_b, nbr_b, kmask_b, src_b, rev_b, deg, *,
     compute_dtype=jnp.bfloat16,

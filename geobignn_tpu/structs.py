@@ -95,6 +95,11 @@ class GraphLevel(struct.PyTreeNode):
     kmask_b: jax.Array | None = None  # (M_b, K_b) f32
     src_b: jax.Array | None = None  # (S_b,) int32 distinct boundary sources
     rev_b: jax.Array | None = None  # (S_b, R_b) int32 compact reverse table
+    # banded sub-graph correction (ops/banded.boundary_band_np) — the
+    # preferred boundary mode; the compact tables above are the fallback
+    # when the boundary sub-graph's own bandwidth is too large
+    jnodes: jax.Array | None = None  # (S,) int32 boundary nodes, sub-RCM
+    jband: jax.Array | None = None  # (Bs, Ts, 3Ts) int8 sub-band mask
 
 
 class PoolStep(struct.PyTreeNode):

@@ -143,9 +143,11 @@ def test_full_model_with_hybrid_levels(monkeypatch):
     s_hyb = attach_tables(s, w_h)
     s_tbl = attach_tables(s, w_t)
     # at tile cap 64 the facet L1 (bw ~830) is over-wide -> hybrid with a
-    # real boundary; the vertex L1 (bw ~41) passes the window check whole
-    # and attaches as a plain band at the hybrid tile
-    assert s_hyb.f.levels[0].nbr_b is not None
+    # real boundary (banded sub-graph correction by default); the vertex
+    # L1 (bw ~41) passes the window check whole and attaches as a plain
+    # band at the hybrid tile
+    assert (s_hyb.f.levels[0].jnodes is not None
+            or s_hyb.f.levels[0].nbr_b is not None)
     assert s_hyb.f.levels[0].band is not None
     assert s_hyb.v.levels[0].band is not None
     assert s_tbl.v.levels[0].band is None
@@ -167,3 +169,90 @@ def test_full_model_with_hybrid_levels(monkeypatch):
         d = np.abs(np.asarray(a) - np.asarray(b)).max()
         scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
         assert d / scale < 5e-2, (d, scale)
+
+
+def test_boundary_band_covers_all_edges_once():
+    """band + banded-sub-graph split covers every real edge exactly once."""
+    ei, n = _graph()
+    perm, _ = banded.order_for_band(ei, n, max_tile=48, target_tile=48)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    ei_r = inv[ei.astype(np.int64)].astype(np.int32)
+
+    tile = 48
+    n_band = round_up(n + 1, tile)
+    jarrs = banded.boundary_band_np(ei_r, n_band, tile)
+    assert jarrs is not None
+    keep = ~banded.out_of_window(ei_r, tile)
+    m = banded.band_mask_np(ei_r[:, keep], n_band, tile, check_bw=False)
+
+    b, t, w = np.nonzero(m)
+    band_edges = set(zip((b * tile + t).tolist(), ((b - 1) * tile + w).tolist()))
+
+    jn = jarrs["jnodes"]
+    jtile = jarrs["jband"].shape[1]
+    bs, ts, ws = np.nonzero(jarrs["jband"])
+    sub_edges = set(zip(
+        jn[bs * jtile + ts].tolist(),
+        jn[(bs - 1) * jtile + ws].tolist(),
+    ))
+    real = ei_r[:, ei_r[0] != ei_r[1]]
+    want = set(zip(real[0].tolist(), real[1].tolist()))
+    assert band_edges | sub_edges == want
+    assert not band_edges & sub_edges
+
+
+def test_hybrid_band_conv_matches_coo_formulation():
+    """feast_conv_hybrid_band (banded sub-graph correction) == sorted-COO
+    feast_conv, forward AND input/param gradients."""
+    rng = np.random.default_rng(7)
+    c_in, c_out, heads = 6, 8, 9
+    ei, n = _graph()
+    perm, _ = banded.order_for_band(ei, n, max_tile=48, target_tile=48)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    ei_r = inv[ei.astype(np.int64)].astype(np.int32)
+
+    tile = 48
+    n_band = round_up(n + 1, tile)
+    trash = n_band - 1
+    ei_pad = np.full((2, ei_r.shape[1] + 4), trash, np.int32)
+    ei_pad[:, : ei_r.shape[1]] = ei_r
+    jarrs = banded.boundary_band_np(ei_pad, n_band, tile)
+    keep = ~banded.out_of_window(ei_pad, tile)
+    m = banded.band_mask_np(ei_pad[:, keep], n_band, tile, check_bw=False)
+
+    x = np.zeros((n_band, c_in), np.float32)
+    x[:n] = rng.normal(size=(n, c_in)).astype(np.float32)
+    deg = np.zeros(n_band, np.float32)
+    np.add.at(deg, ei_r[0], 1.0)
+    params = init_feast_params(jax.random.PRNGKey(0), c_in, c_out, heads)
+
+    order = np.argsort(ei_r[0], kind="stable")
+    ref_fn = jax.jit(lambda p, x_: feast_conv(
+        p, x_, jnp.asarray(ei_r[:, order]), rows_sorted=True))
+    hyb_fn = jax.jit(lambda p, x_: banded_pallas.feast_conv_hybrid_band(
+        p, x_, jnp.asarray(m), jnp.asarray(jarrs["jnodes"]),
+        jnp.asarray(jarrs["jband"]), jnp.asarray(deg),
+        compute_dtype=jnp.float32))
+
+    ref = ref_fn(params, jnp.asarray(x[:n]))
+    hyb = hyb_fn(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(hyb)[:n], np.asarray(ref),
+                               rtol=3e-4, atol=3e-5)
+
+    g = rng.normal(size=(n, c_out)).astype(np.float32)
+
+    def loss_ref(p, x_):
+        return (ref_fn(p, x_) * g).sum()
+
+    def loss_hyb(p, x_):
+        return (hyb_fn(p, x_)[:n] * g).sum()
+
+    gr_p, gr_x = jax.grad(loss_ref, argnums=(0, 1))(params, jnp.asarray(x[:n]))
+    gh_p, gh_x = jax.grad(loss_hyb, argnums=(0, 1))(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gh_x)[:n], np.asarray(gr_x),
+                               rtol=3e-4, atol=3e-4)
+    for a, b in zip(gh_p, gr_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
