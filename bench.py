@@ -78,8 +78,8 @@ def _host_build(subdiv: int, tables_only: bool):
     # over-wide graphs — hybrid band+table conv); order-affecting sweep
     # env vars must key the cache
     slab = "0" if os.environ.get("GBN_NO_SLAB") == "1" else "1"
-    mbt = os.environ.get("GBN_MAX_BAND_TILE", "768")
-    token = (f"v4_s{subdiv}_r{int(bc.reorder)}_g{bc.granularity}"
+    mbt = os.environ.get("GBN_MAX_BAND_TILE", "384")
+    token = (f"v5_s{subdiv}_r{int(bc.reorder)}_g{bc.granularity}"
              f"_sl{slab}_mbt{mbt}")
     path = os.path.join(cache_dir, f"bench_host_{token}.pkl")
     if os.path.exists(path):

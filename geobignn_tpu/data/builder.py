@@ -496,7 +496,7 @@ def attach_band(
                         ei[:, keep], n_band, htile, check_bw=False)
                     levels.append(lvl.replace(
                         band=mask, jnodes=jarrs["jnodes"],
-                        jband=jarrs["jband"],
+                        jband=jarrs["jband"], jpos=jarrs["jpos"],
                     ))
                 else:
                     arrs = banded.hybrid_arrays_np(

@@ -30,9 +30,9 @@ from geobignn_tpu.data import builder
 from geobignn_tpu.meshio import TriMesh, read_obj
 
 
-_BUILD_VERSION = 3  # bump on build-semantics changes (v2: slab-RCM order
-# for over-wide graphs; v3: head-to-tail slab orientation) so
-# content+config-keyed caches invalidate
+_BUILD_VERSION = 4  # bump on build-semantics changes (v2: slab-RCM order
+# for over-wide graphs; v3: head-to-tail slab orientation; v4:
+# MAX_BAND_TILE default 768 -> 384) so content+config caches invalidate
 
 
 def _config_key(cfg: builder.BuildConfig) -> str:

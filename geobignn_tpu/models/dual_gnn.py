@@ -99,7 +99,8 @@ class FeaStConv(nn.Module):
                     from geobignn_tpu.ops import banded_pallas
 
                     out = banded_pallas.feast_conv_hybrid_band(
-                        p_, xp, level.band, level.jnodes, level.jband, dp,
+                        p_, xp, level.band, level.jnodes, level.jband,
+                        level.jpos, dp,
                     )[:n1].astype(x_.dtype)
                 elif level.nbr_b is not None:
                     # band + boundary-table hybrid (fallback when the

@@ -116,16 +116,17 @@ def pick_tile(bandwidth: int, granularity: int = 128, min_tile: int = 128) -> in
     return max(min_tile, round_up(max(bandwidth, 1), granularity))
 
 
-# Above this tile the banded formulation cannot run: the (T, 3T) f32 block
-# intermediates outgrow scoped VMEM (78 MB > the 64 MB limit at tile 1408,
-# the 327k-face facet graph) — callers fall back to the dense-table path
-# for that level.  Measured at 327k faces (B=1 full train step): banding
-# the vertex L1 at tile 768 still wins, 15.4e6 vs 13.5e6 edges/s with L1
-# fully on tables, despite ~0.3% band density.
-MAX_BAND_TILE = 768
-if "GBN_MAX_BAND_TILE" in __import__("os").environ:  # perf-sweep override:
-    # lower it to route wide levels through the hybrid instead of a wide
-    # contiguous band (e.g. the 327k vertex L1 at bw~700)
+# Contiguous-band tile ceiling: levels needing a larger tile route through
+# the slab-RCM hybrid (band at tile<=256 + banded sub-graph boundary
+# correction) instead.  History: the hard VMEM limit is ~768 (the (T, 3T)
+# f32 block intermediates outgrow scoped VMEM beyond it), and 768 was the
+# r3 default; with the gather-only sub-band correction the hybrid now BEATS
+# wide contiguous bands (327k faces: 118.6 -> 127.6e6 edges/s routing the
+# tile-768 vertex L1 / tile-640 v-L2 / tile-512 f-L3 through hybrid-256),
+# while at bench scale (bw 327 -> tile 384) the pure band is still 3.3%
+# ahead of hybrid-256 — hence the 384 threshold.
+MAX_BAND_TILE = 384
+if "GBN_MAX_BAND_TILE" in __import__("os").environ:  # perf-sweep override
     MAX_BAND_TILE = int(__import__("os").environ["GBN_MAX_BAND_TILE"])
 
 
@@ -338,7 +339,13 @@ def boundary_band_np(
     jnodes[:n_sub] = nodes[r].astype(np.int32)
     sub_r = np.stack([rank[sub[0]], rank[sub[1]]])
     jband = band_mask_np(sub_r, n_sub_pad, jtile, check_bw=True)
-    return dict(jnodes=jnodes, jband=jband)
+    # inverse map (node -> slot in jnodes, sentinel n_sub_pad otherwise):
+    # lets BOTH directions of the gather/scatter pair run as gathers
+    # (XLA's scatter-add lowering measured 3.8 ms per (N, 9) scatter at
+    # 327k — the trace's dominant fusion group)
+    jpos = np.full(n_band, n_sub_pad, np.int32)
+    jpos[jnodes[:n_sub]] = np.arange(n_sub, dtype=np.int32)
+    return dict(jnodes=jnodes, jband=jband, jpos=jpos)
 
 
 def hybrid_arrays_np(

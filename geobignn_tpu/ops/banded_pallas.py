@@ -559,8 +559,55 @@ def _banded_aggregate_bwd(compute_dtype, vma, res, gout):
 _banded_aggregate_kernel.defvjp(_banded_aggregate_fwd, _banded_aggregate_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _gather_unique(x, jnodes, jpos):
+    """(N, C) -> (S, C) row gather whose BACKWARD is also a gather.
+
+    `jnodes` must hit each real row at most once with `jpos` its inverse
+    (sentinel S elsewhere; ops/banded.boundary_band_np builds both), so
+    the scatter-add transpose collapses to `pad(g)[jpos]`.  Duplicate
+    trash slots in jnodes legitimately drop their cotangent: the trash
+    row's value never reaches the output (empty sub-band mask rows).
+    XLA's scatter lowering measured 3.8 ms per (N, 9) operand at 327k —
+    the dominant fusion group in the step trace — vs ~1 ms for the
+    equivalent sentinel-row gather."""
+    return x[jnodes]
+
+
+def _gather_unique_fwd(x, jnodes, jpos):
+    return x[jnodes], (jnodes, jpos)
+
+
+def _gather_unique_bwd(res, g):
+    jnodes, jpos = res
+    dx = jnp.pad(g, ((0, 1), (0, 0)))[jpos]
+    return dx, None, None
+
+
+_gather_unique.defvjp(_gather_unique_fwd, _gather_unique_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _scatter_add_unique(num, corr, jnodes, jpos):
+    """num.at[jnodes].add(corr) as a sentinel-row GATHER (same uniqueness
+    contract as _gather_unique); backward is the gather corr̄ = ḡ[jnodes]."""
+    return num + jnp.pad(corr, ((0, 1), (0, 0)))[jpos]
+
+
+def _scatter_add_unique_fwd(num, corr, jnodes, jpos):
+    return _scatter_add_unique(num, corr, jnodes, jpos), (jnodes, jpos)
+
+
+def _scatter_add_unique_bwd(res, g):
+    jnodes, jpos = res
+    return g, g[jnodes], None, None
+
+
+_scatter_add_unique.defvjp(_scatter_add_unique_fwd, _scatter_add_unique_bwd)
+
+
 def feast_conv_hybrid_band(
-    params, x, m, jnodes, jband, deg, *, compute_dtype=jnp.bfloat16,
+    params, x, m, jnodes, jband, jpos, deg, *, compute_dtype=jnp.bfloat16,
 ):
     """Band + banded-SUB-GRAPH hybrid FeaStConv: in-window edges run the
     main banded Pallas aggregate; the out-of-window boundary runs the SAME
@@ -569,7 +616,13 @@ def feast_conv_hybrid_band(
     The per-edge head softmax is independent per edge, so the two partial
     aggregates are exactly additive; `deg` counts BOTH edge sets.
     Replaces the compact-table correction (measured 70% of the hybrid
-    conv's cost at 327k — examples/probe_f1_327k.py)."""
+    conv's cost at 327k — examples/probe_f1_327k.py).
+
+    p/r for the sub-problem are recomputed from the GATHERED x (one
+    well-tiled 64-ch gather) instead of gathering the (N, 9) p/r arrays:
+    the factorized softmax is per-node-shift invariant, so local max
+    shifts give identical q, and the narrow-operand gathers/scatters —
+    whose 9-lane rows waste 14x bandwidth — disappear from the graph."""
     a = x @ params.u
     p = jnp.exp(a - jax.lax.stop_gradient(a.max(axis=1, keepdims=True)))
     ca = params.c - a
@@ -578,11 +631,14 @@ def feast_conv_hybrid_band(
 
     # gathered sub-problem: trash-padded jnodes point at the zero trash
     # row; their sub-band mask rows are empty, so their aggregate is 0 and
-    # the duplicate scatter-adds below are exact no-ops
-    corr = banded_aggregate(
-        r[jnodes], p[jnodes], x[jnodes], params.w, jband, compute_dtype
-    )
-    num = num.at[jnodes].add(corr)
+    # the duplicate sentinel adds below are exact no-ops
+    x_s = _gather_unique(x, jnodes, jpos)
+    a_s = x_s @ params.u
+    p_s = jnp.exp(a_s - jax.lax.stop_gradient(a_s.max(axis=1, keepdims=True)))
+    ca_s = params.c - a_s
+    r_s = jnp.exp(ca_s - jax.lax.stop_gradient(ca_s.max(axis=1, keepdims=True)))
+    corr = banded_aggregate(r_s, p_s, x_s, params.w, jband, compute_dtype)
+    num = _scatter_add_unique(num, corr, jnodes, jpos)
 
     s_self = jax.nn.softmax(params.c)
     w_self = jnp.einsum("h,hio->io", s_self, params.w)

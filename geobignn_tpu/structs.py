@@ -100,6 +100,8 @@ class GraphLevel(struct.PyTreeNode):
     # when the boundary sub-graph's own bandwidth is too large
     jnodes: jax.Array | None = None  # (S,) int32 boundary nodes, sub-RCM
     jband: jax.Array | None = None  # (Bs, Ts, 3Ts) int8 sub-band mask
+    jpos: jax.Array | None = None  # (n_band,) int32 inverse of jnodes
+    # (sentinel S elsewhere) — gather-only scatter transposes
 
 
 class PoolStep(struct.PyTreeNode):

@@ -233,8 +233,8 @@ def test_hybrid_band_conv_matches_coo_formulation():
         p, x_, jnp.asarray(ei_r[:, order]), rows_sorted=True))
     hyb_fn = jax.jit(lambda p, x_: banded_pallas.feast_conv_hybrid_band(
         p, x_, jnp.asarray(m), jnp.asarray(jarrs["jnodes"]),
-        jnp.asarray(jarrs["jband"]), jnp.asarray(deg),
-        compute_dtype=jnp.float32))
+        jnp.asarray(jarrs["jband"]), jnp.asarray(jarrs["jpos"]),
+        jnp.asarray(deg), compute_dtype=jnp.float32))
 
     ref = ref_fn(params, jnp.asarray(x[:n]))
     hyb = hyb_fn(params, jnp.asarray(x))
