@@ -2,7 +2,11 @@
 
 Prints ONE JSON line:
   {"metric": "train_edges_per_s", "value": N, "unit": "edges/s/chip",
-   "vs_baseline": R}
+   "vs_baseline": R, "large": {...}}
+
+The "large" field carries the 327k-face (subdiv-7, batch-1) measurement
+of the same metric so the driver-tracked BENCH_r*.json catches scale
+regressions in the hybrid band + boundary sub-band path (VERDICT r4 #3).
 
 Workload: full DualGNN training step (forward + backward + Adam update,
 jitted) on a disjoint-union batch (data/batching.py) of BENCH_BATCH=8
@@ -196,6 +200,7 @@ def worker() -> None:
         "value": round(edges_per_s, 1),
         "unit": "edges/s/chip",
         "vs_baseline": round(vs_baseline, 3),
+        "faces": n_faces,
         **roof,
     }
     if tables_only:
@@ -244,6 +249,32 @@ def main() -> None:
     # -> ~2 min; cold -> ~5-8 min depending on remote-compile server load.
     full_timeout = max(budget - reserve - (time.monotonic() - t0), 120.0)
     result = _run_attempt({}, full_timeout)
+
+    if result is not None:
+        # large-mesh attempt (VERDICT r4 next #3): the 327k-face number
+        # used to live only in docs/RESULTS.md prose, so a regression in
+        # the hybrid/boundary-band path moved no tracked artifact.  Same
+        # worker at subdiv 7, batch 1; attached as a "large" field so the
+        # driver's one-JSON-line contract is untouched.  Skipped (with an
+        # explicit marker) when the remaining budget can't fit a cold
+        # compile fallback afterwards.
+        large_timeout = budget - reserve - (time.monotonic() - t0)
+        if large_timeout >= 120.0:
+            large = _run_attempt(
+                {"BENCH_SUBDIV": "7", "BENCH_BATCH": "1", "BENCH_STEPS": "3"},
+                large_timeout,
+            )
+            result["large"] = (
+                {k: large[k] for k in
+                 ("value", "vs_baseline", "faces", "mfu_pct")
+                 if k in large}
+                if large is not None else
+                {"value": 0.0, "error": "large-mesh attempt failed/timed "
+                                        "out; see stderr"}
+            )
+        else:
+            result["large"] = {"value": 0.0, "error": "skipped: no budget "
+                                                      "left after attempt 1"}
 
     if result is None:
         # attempt 2: no-Pallas fallback (dense tables, smaller mesh):

@@ -44,6 +44,18 @@ def main():
             )
             rep.update(faces=m_n.n_faces, subdiv=subdiv)
             del rep["per_conv"]
+            # ICI/latency sensitivity (VERDICT r4 next #4): the default
+            # 40 GB/s + 5 us are ASSUMPTIONS (one physical chip — the
+            # interconnect cannot be measured here); the grid shows how
+            # far the efficiency conclusion is from tipping under
+            # pessimistic links (10 GB/s ~ DCN-ish) or latencies
+            rep["sensitivity"] = {
+                f"{g}GBps_{l}us": accounting.halo_comm_report(
+                    hs.structure, step_ms_single_chip=step_ms,
+                    ici_gbps=g, round_latency_us=l,
+                )["efficiency_no_overlap"]
+                for g in (10, 40, 100) for l in (1, 5, 25)
+            }
             rows.append(rep)
             print(
                 f"faces={m_n.n_faces:>7} P={p:>2}  payload "

@@ -210,11 +210,14 @@ class TableWidths:
     bsk_v: tuple = (0, 0, 0)  # block-sparse column-block count per level at
     bsk_f: tuple = (0, 0, 0)  # BS_TILE (0 = not computed); merged as max —
     # the fallback when a band is too wide or dropped at merge time
-    hyb_v: tuple = ((0, 0, 0, 0, 0),) * 3  # band+boundary hybrid per
-    hyb_f: tuple = ((0, 0, 0, 0, 0),) * 3  # level: (tile, m_b, k_b, r_b,
-    # s_b); tile 0 =
-    # not applicable.  Preferred over block-sparse when the slab-RCM order
-    # leaves a small out-of-window boundary (ops/banded.hybrid_widths)
+    hyb_v: tuple = ((0, 0, 0, 0, 0, 0, 0),) * 3  # band+boundary hybrid
+    hyb_f: tuple = ((0, 0, 0, 0, 0, 0, 0),) * 3  # per level: (tile, m_b,
+    # k_b, r_b, s_b, j_tile, j_pad); tile 0 = not applicable.  Preferred
+    # over block-sparse when the slab-RCM order leaves a small
+    # out-of-window boundary (ops/banded.hybrid_widths).  j_tile/j_pad
+    # are the merged jband-correction shapes (ops/banded.
+    # boundary_band_widths) so every batch shares one compiled jband
+    # shape; 0 when the boundary sub-graph is band-infeasible
 
     def merge(self, other: "TableWidths") -> "TableWidths":
         mx = lambda a, b: tuple(max(x, y) for x, y in zip(a, b))
@@ -248,12 +251,22 @@ class TableWidths:
 
         def hyb(a, b):
             # a level stays hybrid only if hybrid in BOTH operands; the
-            # merged tile/pads are element-wise maxima
-            return tuple(
-                tuple(max(p, q) for p, q in zip(x, y))
-                if x[0] and y[0] else (0, 0, 0, 0, 0)
-                for x, y in zip(a, b)
-            )
+            # merged tile/pads are element-wise maxima.  The jband slots
+            # (5: j_tile, 6: j_pad) follow the same both-or-neither rule
+            # independently: one band-infeasible boundary sub-graph drops
+            # the whole LEVEL to the compact-table correction (stable
+            # shapes beat a per-batch band/table flip-flop)
+            out = []
+            for x, y in zip(a, b):
+                if not (x[0] and y[0]):
+                    out.append((0, 0, 0, 0, 0, 0, 0))
+                    continue
+                x, y = _hyb7(x), _hyb7(y)
+                m = [max(p, q) for p, q in zip(x, y)]
+                if not (x[5] and y[5]):
+                    m[5] = m[6] = 0
+                out.append(tuple(m))
+            return tuple(out)
         return TableWidths(
             k_v=mx(self.k_v, other.k_v), k_f=mx(self.k_f, other.k_f),
             mem_v=mx(self.mem_v, other.mem_v), mem_f=mx(self.mem_f, other.mem_f),
@@ -268,6 +281,12 @@ class TableWidths:
 
 
 _BAND_DROPS_WARNED: set = set()
+
+
+def _hyb7(h: tuple) -> tuple:
+    """Widen a legacy 5-slot hybrid tuple (tile, m_b, k_b, r_b, s_b) to
+    the 7-slot form with j_tile = j_pad = 0 (jband sizing unknown)."""
+    return tuple(h) + (0,) * (7 - len(h))
 
 
 def widths_for(
@@ -309,7 +328,7 @@ def widths_for(
         int(np.bincount(fv_indices.reshape(-1), minlength=bv.n_nodes).max()), g
     )
     tile_v = tile_f = bsk_v = bsk_f = (0, 0, 0)
-    hyb_v = hyb_f = ((0, 0, 0, 0, 0),) * 3
+    hyb_v = hyb_f = ((0, 0, 0, 0, 0, 0, 0),) * 3
     if with_bands:
         from geobignn_tpu.ops import banded, blocksparse
 
@@ -328,13 +347,20 @@ def widths_for(
                 blocksparse.blocks_needed(ei, n + 1, blocksparse.bs_tile())
                 for ei, n in zip(eis, ns)
             )
-            hyb = tuple(
-                banded.hybrid_widths(ei, n)
-                if not ti and os.environ.get("GBN_NO_HYBRID") != "1"
-                else (0, 0, 0, 0, 0)
-                for ei, n, ti in zip(eis, ns, t)
-            )
-            return t, bsk, hyb
+            hyb = []
+            for ei, n, ti in zip(eis, ns, t):
+                if ti or os.environ.get("GBN_NO_HYBRID") == "1":
+                    hyb.append((0, 0, 0, 0, 0, 0, 0))
+                    continue
+                h = banded.hybrid_widths(ei, n)
+                jt = jp = 0
+                if h[0] and h[1] and os.environ.get("GBN_NO_JBAND") != "1":
+                    # jband sizing at THIS sample's tile; the merged tile
+                    # may differ (shrinking the boundary), so attach_band
+                    # widens + warns if a batch genuinely needs more
+                    jt, jp = banded.boundary_band_widths(ei, n + 1, h[0])
+                hyb.append(h + (jt, jp))
+            return t, bsk, tuple(hyb)
 
         (tile_v, bsk_v, hyb_v), (tile_f, bsk_f, hyb_f) = tiles(bv), tiles(bf)
     return TableWidths(k_v, k_f, mem_v, mem_f, up_v, up_f, fv_r,
@@ -421,14 +447,18 @@ def attach_tables(
         any(w.tile_v) or any(w.tile_f) or any(w.bsk_v) or any(w.bsk_f)
         or any(h[0] for h in w.hyb_v) or any(h[0] for h in w.hyb_f)
     ):
-        new_v = attach_band(new_v, w.tile_v, w.bsk_v, w.hyb_v)
-        new_f = attach_band(new_f, w.tile_f, w.bsk_f, w.hyb_f)
+        # union batches carry a stacked (B, 3) centroid — the merged
+        # per-SAMPLE jband padding scales by the component count so all
+        # batches of one dataset/batch-size share a compile
+        n_comp = max(np.asarray(sample.centroid).reshape(-1).size // 3, 1)
+        new_v = attach_band(new_v, w.tile_v, w.bsk_v, w.hyb_v, n_comp=n_comp)
+        new_f = attach_band(new_f, w.tile_f, w.bsk_f, w.hyb_f, n_comp=n_comp)
     return sample.replace(v=new_v, f=new_f, fv_rev=fv_rev)
 
 
 def attach_band(
     branch: structs.BranchGraph, tiles: tuple, bsks: tuple = (0, 0, 0),
-    hybs: tuple = ((0, 0, 0, 0, 0),) * 3,
+    hybs: tuple = ((0, 0, 0, 0, 0, 0, 0),) * 3, n_comp: int = 1,
 ) -> structs.BranchGraph:
     """Attach per-level gather-free conv structures to an RCM-ordered
     branch (all three U-Net levels are reordered: the mesh at build time,
@@ -471,7 +501,11 @@ def attach_band(
             # the banded Pallas kernel, the small out-of-window boundary
             # through compact tables — the single-chip analog of the halo
             # banded mode (parallel/partition.halo_feast_conv_banded)
-            htile, mb, kb, rb, sb = hyb
+            htile, mb, kb, rb, sb = _hyb7(hyb)[:5]
+            jt_merged, jp_merged = _hyb7(hyb)[5:7]
+            # per-sample merged padding; a union batch's boundary is the
+            # disjoint union of its components' boundaries
+            jp_merged *= n_comp
             n_band = structs.round_up(n, htile)
             # union-batch/padding can grow the boundary beyond the merged
             # sizing; recompute at the CHOSEN tile and widen as needed
@@ -489,7 +523,24 @@ def attach_band(
                 # bandwidth is too large (GBN_NO_JBAND=1: ablation)
                 jarrs = None
                 if os.environ.get("GBN_NO_JBAND") != "1":
-                    jarrs = banded.boundary_band_np(ei, n_band, htile)
+                    # pad to the dataset-merged jband shapes so every
+                    # batch shares one compile (the table path below has
+                    # always done this via mb/kb/rb/sb)
+                    jarrs = banded.boundary_band_np(
+                        ei, n_band, htile,
+                        tile_out=jt_merged, pad_out=jp_merged,
+                    )
+                if jarrs is not None and jt_merged:
+                    jt_got = int(jarrs["jband"].shape[1])
+                    jp_got = int(jarrs["jnodes"].size)
+                    jp_want = structs.round_up(jp_merged, jt_merged)
+                    if (jt_got, jp_got) != (jt_merged, jp_want):
+                        print(
+                            "note: jband widened beyond the merged sizing"
+                            f" (tile {jt_merged} -> {jt_got}, pad"
+                            f" {jp_merged} -> {jp_got}); this batch"
+                            " compiles separately"
+                        )
                 if jarrs is not None:
                     keep = ~banded.out_of_window(ei, htile)
                     mask = banded.band_mask_np(

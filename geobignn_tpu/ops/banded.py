@@ -296,6 +296,7 @@ def out_of_window(edge_index: np.ndarray, tile: int) -> np.ndarray:
 def boundary_band_np(
     edge_index: np.ndarray, n_band: int, tile: int,
     max_sub_tile: int = 256, granularity: int = 128,
+    tile_out: int = 0, pad_out: int = 0,
 ) -> dict | None:
     """Banded SUB-GRAPH correction for the hybrid conv's out-of-window
     boundary — replaces the per-edge softmax table correction, which
@@ -313,7 +314,13 @@ def boundary_band_np(
     Returns dict(jnodes (S,) int32 — boundary nodes in sub-RCM order,
     trash-padded with n_band-1; jband (Bs, Ts, 3Ts) int8) or None when
     the sub-graph bandwidth exceeds `max_sub_tile` (callers fall back to
-    the compact-table correction)."""
+    the compact-table correction).
+
+    tile_out / pad_out: dataset-merged shape targets (builder.widths_for
+    threads them through TableWidths, like the table widths) so every
+    batch compiles to the SAME jband shapes — the sub-tile is raised to
+    tile_out and the node padding to pad_out unless this batch genuinely
+    needs more (which changes this batch's compile only)."""
     row = edge_index[0].astype(np.int64)
     col = edge_index[1].astype(np.int64)
     real = row != col
@@ -331,10 +338,10 @@ def boundary_band_np(
     rank = np.empty(n_sub, np.int64)
     rank[r] = np.arange(n_sub)
     bw_sub = int(np.abs(rank[sub[0]] - rank[sub[1]]).max())
-    jtile = pick_tile(bw_sub, granularity=granularity)
+    jtile = max(pick_tile(bw_sub, granularity=granularity), tile_out)
     if jtile > max_sub_tile:
         return None
-    n_sub_pad = round_up(n_sub, jtile)
+    n_sub_pad = round_up(max(n_sub, pad_out), jtile)
     jnodes = np.full(n_sub_pad, n_band - 1, np.int32)
     jnodes[:n_sub] = nodes[r].astype(np.int32)
     sub_r = np.stack([rank[sub[0]], rank[sub[1]]])
@@ -345,7 +352,33 @@ def boundary_band_np(
     # 327k — the trace's dominant fusion group)
     jpos = np.full(n_band, n_sub_pad, np.int32)
     jpos[jnodes[:n_sub]] = np.arange(n_sub, dtype=np.int32)
+    # the gather/scatter pair in banded_pallas._gather_unique /
+    # _scatter_add_unique is only a valid adjoint when every real jnodes
+    # row is distinct and jpos is its exact inverse — cheap build-time
+    # check so a future caller can't break that contract silently
+    assert np.unique(jnodes[:n_sub]).size == n_sub, "jnodes rows not unique"
+    assert np.array_equal(
+        jpos[jnodes[:n_sub]], np.arange(n_sub, dtype=np.int32)
+    ), "jpos is not the inverse of jnodes"
     return dict(jnodes=jnodes, jband=jband, jpos=jpos)
+
+
+def boundary_band_widths(
+    edge_index: np.ndarray, n: int, tile: int,
+    max_sub_tile: int = 256, granularity: int = 128,
+) -> tuple[int, int]:
+    """Dataset-merge sizing for the jband correction: (jtile, n_sub_pad)
+    of `boundary_band_np` on this graph, or (0, 0) when the sub-graph is
+    band-infeasible (or there is no boundary).  widths_for records these
+    per level and TableWidths merges them as maxima so all batches share
+    one compiled jband shape."""
+    arrs = boundary_band_np(
+        edge_index, n, tile,
+        max_sub_tile=max_sub_tile, granularity=granularity,
+    )
+    if arrs is None:
+        return 0, 0
+    return int(arrs["jband"].shape[1]), int(arrs["jnodes"].size)
 
 
 def hybrid_arrays_np(

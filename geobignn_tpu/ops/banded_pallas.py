@@ -341,12 +341,26 @@ def _specs(n_blk, tile, heads, c_in, c_out, with_gout: bool, tf: bool = False):
     return ins
 
 
+_NO_TF_NOTED = False
+
+
 def _use_tf(c_in: int, c_out: int) -> bool:
     """Transform-first pays whenever the window matmuls shrink; ablation
-    escape hatch: GBN_NO_TF=1 reproduces the aggregate-first schedule."""
+    escape hatch: GBN_NO_TF=1 reproduces the aggregate-first schedule.
+    Read at TRACE time: set it before the first jit of the model — a
+    toggle after compilation hits the stale jit cache and does nothing
+    (hence the one-time log below, matching GBN_FORCE_BS visibility)."""
     import os
 
-    return c_out < c_in and os.environ.get("GBN_NO_TF") != "1"
+    if c_out < c_in and os.environ.get("GBN_NO_TF") == "1":
+        global _NO_TF_NOTED
+        if not _NO_TF_NOTED:
+            _NO_TF_NOTED = True
+            print("note: GBN_NO_TF=1 — aggregate-first schedule forced "
+                  "for narrowing convs (trace-time flag; already-compiled "
+                  "models are unaffected)")
+        return False
+    return c_out < c_in
 
 
 def _w2_of(w, heads, c_in, c_out):

@@ -14,7 +14,9 @@ reports the efficiency bound
 
 per conv and per step.  The exchange in halo_gnn_module is a sequence of
 edge-colored per-pair `ppermute` rounds per conv (forward), and its
-transpose in backward — 2x the payload per conv per step.  Each round is
+transpose in backward — 2x the payload per conv per step (1x for the
+first vertex conv, whose raw-data input reverse mode never transposes;
+ConvComm.factor).  Each round is
 padded to its own max pair cut; the pre-sparse dense all_to_all (every
 pair padded to the GLOBAL max cut) is kept as a comparison column.
 """
@@ -47,6 +49,11 @@ class ConvComm:
     payload_mb: float  # sparse per-round exchange payload per chip (fwd)
     real_mb: float  # real (non-trash) boundary rows only
     dense_mb: float  # what the dense max-pair all_to_all would have moved
+    factor: int = 2  # exchanges per step: fwd + AD transpose.  1 for the
+    # FIRST vertex conv only: its exchange input is the raw data xv, no
+    # param-dependent path, so reverse mode never transposes it (pinned
+    # against the traced step in tests/test_accounting.py
+    # ::test_live_step_schedule_agrees_with_accounting)
 
 
 def _level_halo(sh) -> tuple[int, int, int]:
@@ -89,16 +96,18 @@ def halo_comm_report(
     p = hd.v.levels[0].send_idx.shape[0]
     convs: list[ConvComm] = []
     n_rounds_step = 0
+    conv_rounds: list[int] = []  # per-conv schedule length (for factors)
     for branch, tag, c0 in ((hd.v, "v", c0_v), (hd.f, "f", c0_f)):
         for i, (lvl, c_in, _) in enumerate(_CONV_SCHEDULE):
             ci = c0 if c_in is None else c_in
             padded, real, dense = _level_halo(branch.levels[lvl])
-            n_rounds_step += len(branch.levels[lvl].rounds)
+            conv_rounds.append(len(branch.levels[lvl].rounds))
             convs.append(ConvComm(
                 name=f"{tag}_conv{i + 1}", level=lvl + 1, c_in=ci,
                 payload_mb=padded * ci * 4 / 1e6,
                 real_mb=real * ci * 4 / 1e6,
                 dense_mb=dense * ci * 4 / 1e6,
+                factor=1 if (tag == "v" and i == 0) else 2,
             ))
     # cross-domain corner gather: 3-coord positions, one exchange (+ bwd)
     fv_part = np.zeros(p, np.int64)
@@ -115,12 +124,14 @@ def halo_comm_report(
         fv_dense * 3 * 4 / 1e6,
     ))
 
-    # fwd exchange + bwd transpose per conv
-    n_rounds_step = 2 * (n_rounds_step + len(hd.fv_rounds))
-    n_exchanges = 2 * len(convs)
-    step_payload_mb = 2 * sum(c.payload_mb for c in convs)
-    step_real_mb = 2 * sum(c.real_mb for c in convs)
-    step_dense_mb = 2 * sum(c.dense_mb for c in convs)
+    # fwd exchange + bwd transpose per conv (factor=2), except the first
+    # vertex conv whose input is raw data (factor=1 — see ConvComm)
+    conv_rounds.append(len(hd.fv_rounds))
+    n_rounds_step = sum(c.factor * r for c, r in zip(convs, conv_rounds))
+    n_exchanges = sum(c.factor for c in convs)
+    step_payload_mb = sum(c.factor * c.payload_mb for c in convs)
+    step_real_mb = sum(c.factor * c.real_mb for c in convs)
+    step_dense_mb = sum(c.factor * c.dense_mb for c in convs)
 
     # launch/hop latency: charged once per EXCHANGE, not per round — every
     # round's send slice is computed before round 1 fires (one gather), so

@@ -35,6 +35,11 @@ class HaloTrainer:
 
     mesh_pairs / eval_pairs: [(TriMesh noisy, TriMesh original)]."""
 
+    # measured surface-to-volume knee: faces/partition at which the
+    # modeled no-overlap halo efficiency crosses ~80% (20480 faces / 8
+    # parts -> 79.8%, docs/halo_scaling.json)
+    KNEE_FACES_PER_PART = 2560
+
     def __init__(self, cfg: Config, mesh_pairs, eval_pairs=None,
                  run_dir: str | None = None):
         import optax  # noqa: F401  (tx built via optim)
@@ -63,6 +68,22 @@ class HaloTrainer:
             return ht.build_halo_train_sample(
                 m_n, m_o, bc, self.n_parts, seed=cfg.preprocess_seed,
                 granularity=cfg.granularity, banded=cfg.halo_banded,
+            )
+
+        # surface-to-volume knee (docs/halo_scaling.json, measured): at
+        # ~2560 faces/part the modeled no-overlap efficiency is 79.8%
+        # and it drops to 66% at half that — splitting a small mesh many
+        # ways trades compute for boundary exchange.  Warn, don't fail:
+        # the run is still correct, just inefficient.
+        min_fpp = min(m_n.n_faces for m_n, _ in mesh_pairs) // self.n_parts
+        if min_fpp < self.KNEE_FACES_PER_PART:
+            print(
+                f"WARNING: halo_parts={self.n_parts} leaves only "
+                f"{min_fpp} faces/partition on the smallest mesh — below "
+                f"the measured surface-to-volume knee "
+                f"(~{self.KNEE_FACES_PER_PART} faces/part ~= 80% modeled "
+                "efficiency, docs/halo_scaling.json); use fewer "
+                "partitions or larger meshes"
             )
 
         self.samples = [build(m_n, m_o) for m_n, m_o in mesh_pairs]

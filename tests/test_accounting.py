@@ -85,3 +85,126 @@ def test_comm_grows_sublinearly_with_parts():
         rep = accounting.halo_comm_report(hs.structure, step_ms_single_chip=5.0)
         reals.append(rep["step_real_mb"])
     assert reals[2] < 4 * reals[0]
+
+
+def _walk_ppermutes(jaxpr, acc):
+    """Collect (operand shape, frozenset(perm)) from every ppermute eqn,
+    recursing through pjit/scan/cond/custom-vjp sub-jaxprs."""
+    from jax.extend import core as jex_core  # noqa: F401
+    import jax.core as core
+
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "ppermute":
+            acc.append((
+                tuple(eqn.invars[0].aval.shape),
+                frozenset(tuple(p) for p in eqn.params["perm"]),
+            ))
+        for v in eqn.params.values():
+            for x in (v if isinstance(v, (tuple, list)) else (v,)):
+                if hasattr(x, "jaxpr") and hasattr(x, "consts"):  # ClosedJaxpr
+                    _walk_ppermutes(x.jaxpr, acc)
+                elif hasattr(x, "eqns"):  # Jaxpr
+                    _walk_ppermutes(x, acc)
+
+
+def test_live_step_schedule_agrees_with_accounting():
+    """Close the model<->runtime loop (VERDICT r4 next #4): the ppermutes
+    the TRACED halo train step actually performs — count, per-round pad
+    h_c, channel width, chip pairs — must equal the host schedule the
+    accounting bills, and an EXECUTED exchange on the 8-device mesh must
+    deliver exactly the non-trash rows the accounting's real-cut counts."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from geobignn_tpu.data.builder import build_dual_sample
+    from geobignn_tpu.models import DualGNN
+    from geobignn_tpu.models.dual_gnn import CONV_SCHEDULE
+    from geobignn_tpu.parallel import halo_train as ht
+    from geobignn_tpu.parallel import partition as hp
+    from geobignn_tpu.parallel.api import make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    m_o = synth.icosphere(3)
+    m_n = synth.add_noise(m_o, 0.2, seed=0)
+    bc = BuildConfig(granularity=16)
+    n_parts = 8
+    hs = ht.build_halo_train_sample(m_n, m_o, bc, n_parts=n_parts, seed=0)
+    rep = accounting.halo_comm_report(hs.structure, step_ms_single_chip=5.0)
+
+    mesh = make_mesh(1, n_parts)
+    tx = optax.adam(1e-3)
+    single, _ = build_dual_sample(m_n, m_o, bc)
+    params = jax.jit(DualGNN().init)(jax.random.PRNGKey(0), single)["params"]
+    params = jax.tree.map(np.asarray, params)
+    opt_state = tx.init(params)
+    step = ht.make_halo_train_step(tx, mesh, hs.arrays, static_d=hs.static)
+
+    jaxpr = jax.make_jaxpr(step)(
+        params, opt_state, hs.arrays, jax.random.PRNGKey(0)
+    )
+    acc = []
+    _walk_ppermutes(jaxpr.jaxpr, acc)
+
+    # 1. executed round count == the accounting's n_rounds_step
+    assert len(acc) == rep["n_rounds_step"], (len(acc), rep["n_rounds_step"])
+
+    # 2. the multiset of (h_c, c_in, pairs) matches the host schedule:
+    # each conv at level l performs every round of that level's schedule
+    # once forward and once in the AD transpose (perm is symmetric, so
+    # the inverted permutation is the same pair set)
+    expect = {}
+    for br in (hs.structure.v, hs.structure.f):
+        for i, (_, lvl, c_in, _) in enumerate(CONV_SCHEDULE):
+            # c_in None = first conv: 6 input features (v) / 12 (f)
+            ci = c_in if c_in is not None else (
+                6 if br is hs.structure.v else 12)
+            # the first VERTEX conv's exchange input is the raw data xv:
+            # no param-dependent path, so no AD transpose (factor 1); the
+            # first FACET conv consumes vert_p-derived features (factor 2)
+            fac = 1 if (br is hs.structure.v and i == 0) else 2
+            for perm, h_c in br.levels[lvl].rounds:
+                key = ((h_c, ci), frozenset(perm))
+                expect[key] = expect.get(key, 0) + fac
+    for perm, h_c in hs.structure.fv_rounds:
+        key = ((h_c, 3), frozenset(perm))
+        expect[key] = expect.get(key, 0) + 2
+    got = {}
+    for shape, pairs in acc:
+        key = ((shape[0], shape[1]), pairs)
+        got[key] = got.get(key, 0) + 1
+    assert got == expect
+
+    # 3. EXECUTED real rows: send a real-slot indicator through the live
+    # sparse exchange; each chip must receive exactly the non-trash rows
+    # the host schedule (and therefore the accounting's real-cut column)
+    # says its partners send it
+    sh = hs.structure.v.levels[0]
+    trash = sh.n_loc - 1
+    marker = (np.arange(sh.n_loc) != trash).astype(np.float32)
+    marker = np.broadcast_to(marker[None, :, None], (n_parts, sh.n_loc, 1))
+    send_idx = np.asarray(sh.send_idx)
+
+    def ex(x, si):
+        ext = hp.halo_exchange(x[0], si[0], "gp", rounds=sh.rounds)
+        return ext[None, sh.n_loc:, :]
+
+    out = jax.jit(jax.shard_map(
+        ex, mesh=mesh, in_specs=(P("gp"), P("gp")), out_specs=P("gp"),
+        check_vma=False,
+    ))(jnp.asarray(marker), jnp.asarray(send_idx))
+    got_rows = np.asarray(out).sum(axis=(1, 2))  # received real rows/chip
+
+    expect_rows = np.zeros(n_parts)
+    off = 0
+    for perm, h_c in sh.rounds:
+        for src, dst in perm:
+            expect_rows[dst] += (send_idx[src, off:off + h_c] != trash).sum()
+        off += h_c
+    np.testing.assert_array_equal(got_rows, expect_rows)
+    # and the accounting's real_mb for the first v conv is exactly the
+    # worst chip's SENT real rows (receive totals must globally balance)
+    sent = (send_idx != trash).sum(axis=1)
+    assert got_rows.sum() == sent.sum()
+    assert abs(rep["per_conv"][0]["real_mb"]
+               - sent.max() * 6 * 4 / 1e6) < 1e-12

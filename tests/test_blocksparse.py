@@ -111,6 +111,57 @@ def test_feast_conv_blocksparse_gradient_parity():
         )
 
 
+def test_feast_conv_blocksparse_narrowing_parity():
+    """c_in > c_out engages the transform-first schedule (_use_tf True:
+    _fwd_kernel_tf/_bwd_kernel_tf, tf wbar specs, dw moveaxis) — forward
+    AND gradient parity vs sorted-COO, mirroring the widening tests above
+    which always take the aggregate-first path."""
+    from geobignn_tpu.ops.banded_pallas import _use_tf
+
+    tile = 64
+    ei, n, n_pad = _rcm_graph(subdiv=2, tile=tile)
+    blk_idx, mask, _ = blocksparse.block_sparse_np(ei, n_pad, tile)
+    rng = np.random.default_rng(7)
+    c_in, c_out, heads = 6, 4, 3
+    assert _use_tf(c_in, c_out)
+    x = np.zeros((n_pad, c_in), np.float32)
+    x[:n] = rng.normal(size=(n, c_in)).astype(np.float32)
+    deg = np.zeros(n_pad, np.float32)
+    np.add.at(deg, ei[0][ei[0] != ei[1]], 1.0)
+    params = init_feast_params(jax.random.PRNGKey(4), c_in, c_out, heads)
+    tgt = rng.normal(size=(n_pad, c_out)).astype(np.float32)
+    msk = (np.arange(n_pad) < n).astype(np.float32)[:, None]
+
+    ref_out = feast_conv(
+        params, jnp.asarray(x), jnp.asarray(ei), deg=jnp.asarray(deg))
+    got_out = blocksparse.feast_conv_blocksparse(
+        params, jnp.asarray(x), jnp.asarray(mask), jnp.asarray(blk_idx),
+        jnp.asarray(deg), compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_out)[:n], np.asarray(ref_out)[:n], rtol=1e-5, atol=1e-5
+    )
+
+    def loss_ref(p, xx):
+        out = feast_conv(p, xx, jnp.asarray(ei), deg=jnp.asarray(deg))
+        return ((out - tgt) ** 2 * msk).sum()
+
+    def loss_bs(p, xx):
+        out = blocksparse.feast_conv_blocksparse(
+            p, xx, jnp.asarray(mask), jnp.asarray(blk_idx), jnp.asarray(deg),
+            compute_dtype=jnp.float32,
+        )
+        return ((out - tgt) ** 2 * msk).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, jnp.asarray(x))
+    g_bs = jax.grad(loss_bs, argnums=(0, 1))(params, jnp.asarray(x))
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_bs)):
+        sc = max(float(jnp.abs(a).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a) / sc, np.asarray(b) / sc, rtol=2e-4, atol=2e-5
+        )
+
+
 def test_xla_numerator_matches_kernel():
     """The pure-XLA twin (_xla_numerator) pins the kernel's numerator."""
     tile = 64

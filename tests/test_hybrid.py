@@ -256,3 +256,68 @@ def test_hybrid_band_conv_matches_coo_formulation():
     for a, b in zip(gh_p, gr_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_boundary_band_merged_sizing_pins_shapes():
+    """tile_out/pad_out (the dataset-merged TableWidths j_tile/j_pad,
+    ADVICE r4 medium) pin the jband shapes across batches whose natural
+    boundary sizes differ, and the padded correction stays exact."""
+    rng = np.random.default_rng(11)
+    c_in, c_out, heads = 5, 7, 4
+    ei, n = _graph()
+    perm, _ = banded.order_for_band(ei, n, max_tile=48, target_tile=48)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    ei_r = inv[ei.astype(np.int64)].astype(np.int32)
+
+    tile = 48
+    n_band = round_up(n + 1, tile)
+    nat = banded.boundary_band_np(ei_r, n_band, tile)
+    assert nat is not None
+    jt_nat = int(nat["jband"].shape[1])
+    jp_nat = int(nat["jnodes"].size)
+
+    # merged sizing strictly larger than this batch's natural need
+    jt_m, jp_m = jt_nat * 2, jp_nat + 3 * jt_nat
+    padded = banded.boundary_band_np(
+        ei_r, n_band, tile, tile_out=jt_m, pad_out=jp_m)
+    assert int(padded["jband"].shape[1]) == jt_m
+    assert int(padded["jnodes"].size) == round_up(jp_m, jt_m)
+    # deterministic: any batch with natural need <= merged gets THIS shape
+
+    x = np.zeros((n_band, c_in), np.float32)
+    x[:n] = rng.normal(size=(n, c_in)).astype(np.float32)
+    deg = np.zeros(n_band, np.float32)
+    np.add.at(deg, ei_r[0], 1.0)
+    params = init_feast_params(jax.random.PRNGKey(3), c_in, c_out, heads)
+    keep = ~banded.out_of_window(ei_r, tile)
+    m = banded.band_mask_np(ei_r[:, keep], n_band, tile, check_bw=False)
+
+    def run(jarrs):
+        return banded_pallas.feast_conv_hybrid_band(
+            params, jnp.asarray(x), jnp.asarray(m),
+            jnp.asarray(jarrs["jnodes"]), jnp.asarray(jarrs["jband"]),
+            jnp.asarray(jarrs["jpos"]), jnp.asarray(deg),
+            compute_dtype=jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(run(padded))[:n], np.asarray(run(nat))[:n],
+        rtol=1e-5, atol=1e-5)
+
+
+def test_widths_for_records_and_merges_jband_sizing():
+    """widths_for emits 7-slot hyb tuples; merge takes maxima when both
+    operands have a jband and drops to 0 (table correction) otherwise."""
+    from geobignn_tpu.data.builder import TableWidths, widths_for, _hyb7
+
+    h_a = (64, 8, 8, 8, 8, 128, 256)
+    h_b = (64, 16, 8, 8, 8, 128, 384)
+    h_c = (64, 8, 8, 8, 8, 0, 0)  # jband-infeasible sample
+    base = dict(k_v=(8,) * 3, k_f=(8,) * 3, mem_v=(4,) * 4, mem_f=(4,) * 4,
+                up_v=(4,) * 2, up_f=(4,) * 2, fv_r=8)
+    mk = lambda h: TableWidths(**base, hyb_f=(h, (0,) * 7, (0,) * 7))
+    m_ab = mk(h_a).merge(mk(h_b))
+    assert m_ab.hyb_f[0] == (64, 16, 8, 8, 8, 128, 384)
+    m_ac = mk(h_a).merge(mk(h_c))
+    assert m_ac.hyb_f[0] == (64, 8, 8, 8, 8, 0, 0)
+    assert _hyb7((64, 8, 8, 8, 8)) == (64, 8, 8, 8, 8, 0, 0)

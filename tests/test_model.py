@@ -22,7 +22,7 @@ def sample_and_plan():
 def model_out(sample_and_plan):
     sample, plan = sample_and_plan
     model = DualGNN()
-    params = model.init(jax.random.PRNGKey(0), sample)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
     vert_p, norm_p = jax.jit(model.apply)(params, sample)
     return sample, plan, model, params, vert_p, norm_p
 
@@ -145,8 +145,8 @@ def test_force_depth_head():
         m_n, m_o, BuildConfig(with_depth=True, granularity=64)
     )
     model = DualGNN(force_depth=True)
-    params = model.init(jax.random.PRNGKey(0), sample)
-    vert_p, _ = model.apply(params, sample)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
+    vert_p, _ = jax.jit(model.apply)(params, sample)
     # displacement is along depth_direction
     disp = vert_p - sample.v.x[:, :3]
     d = sample.v.depth_direction
@@ -173,7 +173,9 @@ def test_trash_lane_stays_zero(model_out):
     sample, plan, model, params, vert_p, norm_p = model_out
     import flax.linen as fnn
 
-    _, state = model.apply(params, sample, capture_intermediates=True)
+    _, state = jax.jit(
+        lambda p, s: model.apply(p, s, capture_intermediates=True)
+    )(params, sample)
     inter = state["intermediates"]
     feat_v = inter["gnn_v"]["__call__"][0]
     mask = np.asarray(sample.v.levels[0].node_mask)
