@@ -79,6 +79,7 @@ def main():
                 if e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in str(e.get("args", {}).get("name", ""))}
     durs = collections.Counter()
+    metas = {}
     total = 0
     for e in ev:
         if e.get("ph") == "X" and e["pid"] in tpu_pids:
@@ -87,13 +88,20 @@ def main():
                 continue
             durs[name] += e.get("dur", 0)
             total += e.get("dur", 0)
+            a = e.get("args") or {}
+            m = a.get("long_name") or a.get("hlo_op") or a.get("tf_op") or ""
+            if m and name not in metas:
+                metas[name] = str(m)
     print(f"total device op time: {total / 1e3:.2f} ms (2 steps)")
     groups = collections.Counter()
     for name, d in durs.items():
         g = re.sub(r"[.\d]+$", "", name)
         groups[g] += d
-    for name, d in groups.most_common(40):
+    for name, d in groups.most_common(25):
         print(f"{d / 1e3:9.2f} ms  {name[:90]}")
+    print("\n--- top individual ops (2 steps) ---")
+    for name, d in durs.most_common(45):
+        print(f"{d / 1e3:9.2f} ms  {name[:60]:60s}  {metas.get(name, '')[:110]}")
 
 
 if __name__ == "__main__":

@@ -70,6 +70,22 @@ def main(argv=None):
     p_ev.add_argument("--result_dir", required=True)
     p_ev.add_argument("--original_dir", required=True)
 
+    # one-command accuracy campaign at the reference protocol (VERDICT r4
+    # next #6): train on <dataset_dir>/<data_type>/train (train_list.txt
+    # manifest), denoise the manifest-selected test split, write
+    # ErrorInfo_h.txt + campaign_summary.json.  The day the CNR/Kinect
+    # corpora are dropped into dataset/, the full parity run is:
+    #   python -m geobignn_tpu campaign --data_type=Synthetic
+    p_cmp = sub.add_parser(
+        "campaign",
+        help="train + test-split inference + corpus eval in one command "
+             "on a reference-layout dataset dir",
+    )
+    p_cmp.add_argument("--data_type", required=True)
+    p_cmp.add_argument("--flag", default="campaign")
+    p_cmp.add_argument("--dataset_dir", default="dataset")
+    p_cmp.add_argument("--config", default=None, help="JSON config file")
+
     args, extras = parser.parse_known_args(argv)
 
     if args.cmd == "train":
@@ -97,6 +113,39 @@ def main(argv=None):
         from geobignn_tpu.infer.evaluate import eval_denoising_result
 
         eval_denoising_result(args.result_dir, args.original_dir)
+    elif args.cmd == "campaign":
+        import os
+
+        from geobignn_tpu.config import Config
+        from geobignn_tpu.infer.evaluate import eval_denoising_result
+        from geobignn_tpu.infer.predict import predict_dir
+        from geobignn_tpu.train.trainer import train
+
+        base = {}
+        if args.config:
+            with open(args.config) as f:
+                base = json.load(f)
+        base.update(
+            data_type=args.data_type, flag=args.flag,
+            dataset_dir=args.dataset_dir,
+        )
+        cfg = Config.from_dict(_apply_extras(base, extras))
+        run_dir = train(cfg)
+        rep = predict_dir(run_dir, dataset_root=cfg.dataset_dir)
+        result_dir = os.path.join(
+            cfg.dataset_dir, cfg.data_type, "test", f"result_{cfg.flag}")
+        orig_dir = os.path.join(
+            cfg.dataset_dir, cfg.data_type, "test", "original")
+        ev = eval_denoising_result(result_dir, orig_dir)
+        summary = dict(run_dir=run_dir, **(rep or {}))
+        if isinstance(ev, dict):
+            summary["corpus"] = ev.get("corpus")
+            summary["eval_rows"] = ev.get("rows")
+        out = os.path.join(run_dir, "campaign_summary.json")
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"campaign summary -> {out}")
+        return summary
 
 
 if __name__ == "__main__":

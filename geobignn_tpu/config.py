@@ -46,7 +46,8 @@ class Config:
     # exact reference parity for activation-dependent edge-weight types;
     # auto-enabled for the learned types 3-5, which static hierarchies
     # cannot represent (their affinities need live activations + learnable
-    # attention params).  Single-chip only; costs ~4x/16x coarse-level
+    # attention params).  Single-chip or dp/dcn-replicated (gp=1);
+    # costs ~4x/16x coarse-level
     # lane work (padded sizes cannot shrink in-graph).
 
     # optimization
@@ -110,7 +111,7 @@ class Config:
 
           * bucketed streaming needs preload=False and is single-chip;
           * halo training is exclusive with dp/gp/dcn and dynamic pooling;
-          * dynamic pooling is single-chip;
+          * dynamic pooling allows dp/dcn but never gp;
           * precision / lr_sch / optimizer names are checked up front.
         """
         n_chips = self.dcn * self.dp * self.gp
@@ -153,9 +154,11 @@ class Config:
                 raise ValueError(
                     "fusion_features is not available with dynamic pooling"
                 )
-        if (self.dynamic_pool or self.edge_weight_type in (3, 4, 5)) and n_chips > 1:
+        if (self.dynamic_pool or self.edge_weight_type in (3, 4, 5)) and self.gp > 1:
             raise ValueError(
-                "dynamic pooling is single-chip only (dp/gp/dcn must be 1)"
+                "dynamic pooling cannot be graph-partitioned (gp must be "
+                "1); data-parallel dp/dcn replication IS supported — the "
+                "in-forward matching is per-sample"
             )
         if self.precision not in ("float32", "bfloat16"):
             raise ValueError(f"unknown precision '{self.precision}'")

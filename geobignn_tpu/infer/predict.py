@@ -303,13 +303,20 @@ def predict_dir(
     if data_dir is None:
         root = dataset_root or cfg.dataset_dir
         data_dir = os.path.join(root, cfg.data_type, "test")
-        orig_dir = os.path.join(data_dir, "original")
-        for orig in sorted(glob.glob(os.path.join(orig_dir, "*.obj"))):
-            name = os.path.splitext(os.path.basename(orig))[0]
-            for noisy in sorted(
-                glob.glob(os.path.join(data_dir, "noisy", f"{name}_n*.obj"))
-            ):
-                pairs.append((noisy, orig))
+        # manifest-driven split when the reference-layout list file exists
+        # (reference discovery, code/dataset.py:83-103): a list file may
+        # deliberately select a SUBSET of original/ — globbing everything
+        # would evaluate shapes outside the published protocol
+        from geobignn_tpu.data.dataset import discover_mesh_pairs
+
+        list_txt = (
+            "test_list.txt"
+            if os.path.exists(
+                os.path.join(root, cfg.data_type, "test_list.txt"))
+            else None
+        )
+        pairs = list(discover_mesh_pairs(
+            root, cfg.data_type, "test", list_txt))
     else:
         pairs = [(p, None) for p in sorted(glob.glob(os.path.join(data_dir, "*.obj")))]
 

@@ -19,10 +19,17 @@ def coalesce_edges(
     edge_index: jax.Array,  # (2, E) int32, trash-padded (row==col==trash)
     edge_weight: jax.Array | None,  # (E,)
     n_pad: int,
+    compact: bool = False,
 ):
     """Returns (edge_index, edge_weight) of the SAME shapes with duplicates
     and self-loops turned into trash padding; surviving edges keep sorted
-    (row, col) order; duplicate weights are mean-combined."""
+    (row, col) order; duplicate weights are mean-combined.
+
+    compact=True additionally moves the trashed slots to the END (one more
+    stable sort), so the output rows are globally NON-DECREASING (trash =
+    n_pad-1 is the max slot).  That makes the output a legal `rows_sorted`
+    input for the scan-based matching and the sorted-scatter conv
+    aggregates — the dynamic-pooling fast path."""
     e = edge_index.shape[1]
     trash = n_pad - 1
     row, col = edge_index[0], edge_index[1]
@@ -51,4 +58,10 @@ def coalesce_edges(
             jnp.where(~loop_s, w_s, 0.0)[:, None], gid, e
         )[:, 0]
         out_w = jnp.where(first, mean_w[gid], 0.0)
+    if compact:
+        # stable: surviving edges keep their (row, col) sorted order
+        order2 = jnp.argsort(~first, stable=True)
+        out_ei = out_ei[:, order2]
+        if out_w is not None:
+            out_w = out_w[order2]
     return out_ei, out_w

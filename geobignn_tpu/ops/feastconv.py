@@ -85,20 +85,37 @@ def feast_conv(
     if deg is None or psum_axis is not None:
         deg = segment.segment_count(row, n, dtype=x.dtype, sorted=rows_sorted)
 
-    # scan over heads: only ONE (E, C_in) weighted-gather intermediate is
-    # live at a time (an unrolled loop kept all H of them resident — 9x the
-    # activation memory, OOM on >300k-face meshes)
-    def one_head(w_h, q_h):
-        z = segment.segment_sum(q_h[:, None] * x_j, row, n, sorted=rows_sorted)
-        return jnp.dot(z, w_h, preferred_element_type=x.dtype)
+    e = row.shape[0]
+    c_in = x.shape[1]
+    if e * heads * c_in <= (1 << 29):
+        # fused heads: ONE segment_sum of the (E, H*C_in) outer product
+        # instead of H scatters — the scatter cost is per-index, so one
+        # wide scatter beats H narrow ones (measured 20.6 -> 4.4 ms at
+        # E=245k, H=9, C=32 on v5e).  Size-gated: the intermediate is
+        # E*H*C_in floats, which OOMs >300k-face meshes — those take the
+        # scan path below (and in practice run the banded kernels anyway)
+        big = (q[:, :, None] * x_j[:, None, :]).reshape(e, heads * c_in)
+        z = segment.segment_sum(big, row, n, sorted=rows_sorted)
+        out = jnp.einsum(
+            "nhc,hco->no", z.reshape(n, heads, c_in), params.w,
+            preferred_element_type=x.dtype,
+        )
+    else:
+        # scan over heads: only ONE (E, C_in) weighted-gather intermediate
+        # is live at a time (an unrolled loop kept all H of them resident —
+        # 9x the activation memory, OOM on >300k-face meshes)
+        def one_head(w_h, q_h):
+            z = segment.segment_sum(
+                q_h[:, None] * x_j, row, n, sorted=rows_sorted)
+            return jnp.dot(z, w_h, preferred_element_type=x.dtype)
 
-    def head_body(acc, wq):
-        return acc + one_head(*wq), None
+        def head_body(acc, wq):
+            return acc + one_head(*wq), None
 
-    # head 0 seeds the carry so its varying-axes type matches the body's in
-    # any shard_map context (a zeros init would need manual pcasts)
-    out0 = one_head(params.w[0], q[:, 0])
-    out, _ = jax.lax.scan(head_body, out0, (params.w[1:], q[:, 1:].T))
+        # head 0 seeds the carry so its varying-axes type matches the
+        # body's in any shard_map context (zeros init would need pcasts)
+        out0 = one_head(params.w[0], q[:, 0])
+        out, _ = jax.lax.scan(head_body, out0, (params.w[1:], q[:, 1:].T))
 
     if psum_axis is not None:  # combine edge-shard partials
         packed = jnp.concatenate([out, deg[:, None]], axis=1)

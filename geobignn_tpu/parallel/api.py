@@ -79,10 +79,13 @@ def stack_samples(samples: list[DualSample]) -> DualSample:
 _EDGE_LEAVES = {"edge_index", "edge_weight"}
 
 
-def batch_pspecs(batched: DualSample, dp_axes: tuple[str, ...] = ("dp",)) -> Any:
+def batch_pspecs(batched: DualSample, dp_axes: tuple[str, ...] = ("dp",),
+                 gp_shard: bool = True) -> Any:
     """PartitionSpec pytree for a batched sample: batch axis over `dp_axes`
     (("dcn", "dp") on a multi-host mesh); edge arrays additionally sharded
-    on "gp" along the edge axis."""
+    on "gp" along the edge axis.  gp_shard=False keeps edges whole per dp
+    rank (models without a psum_axis edge path, e.g. dynamic pooling —
+    which is dp-only; config rejects gp > 1 there)."""
     b = dp_axes[0] if len(dp_axes) == 1 else tuple(dp_axes)
 
     def spec(path, leaf):
@@ -91,9 +94,9 @@ def batch_pspecs(batched: DualSample, dp_axes: tuple[str, ...] = ("dp",)) -> Any
             if isinstance(k, jax.tree_util.GetAttrKey):
                 name = k.name
                 break
-        if name == "edge_index":  # (B, 2, E)
+        if gp_shard and name == "edge_index":  # (B, 2, E)
             return P(b, None, "gp")
-        if name == "edge_weight":  # (B, E)
+        if gp_shard and name == "edge_weight":  # (B, E)
             return P(b, "gp")
         return P(b, *([None] * (leaf.ndim - 1)))
 
@@ -127,6 +130,7 @@ def make_sharded_train_step(
     batched_sample: DualSample,
     loss_cfg: dict | None = None,
     augment: bool = False,
+    gp_shard: bool = True,
 ) -> Callable:
     """Build the jitted SPMD train step for a given batch structure.
 
@@ -140,7 +144,7 @@ def make_sharded_train_step(
 
     cfg = loss_cfg or {}
     dp_axes = _dp_axes(mesh)
-    specs = batch_pspecs(batched_sample, dp_axes)
+    specs = batch_pspecs(batched_sample, dp_axes, gp_shard=gp_shard)
 
     def local_step(params, opt_state, batch, rng):
         rank = jax.lax.axis_index(dp_axes)

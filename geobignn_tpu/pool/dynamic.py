@@ -9,6 +9,8 @@ default here) approximates those affinities with input features; this
 module is the exact-parity mode: weights from live activations (learned
 params included), coarsening via the on-device parallel matching
 (ops/matching.py), edges coalesced in-graph (ops/coalesce.py).
+Per-sample by construction, so dp/dcn data-parallel replication applies
+unchanged (Trainer routes it); gp graph-partitioning does not.
 
 Trade-off, by design: every level keeps the padded level-1 array size
 (XLA static shapes), so coarse convs do ~4x/16x extra lane work vs the
@@ -61,7 +63,10 @@ class DynamicPooling(nn.Module):
 
         unpool = jnp.arange(n_pad, dtype=jnp.int32)
         for _ in range(self.pool_step):
-            rep = matching.parallel_matching(edge_index, w, n_pad, self.rounds)
+            # rows_sorted: level-1 graphs are host-sorted; coarser inputs
+            # come from pool_edges_with_rep's compacted coalesce
+            rep = matching.parallel_matching(
+                edge_index, w, n_pad, self.rounds, rows_sorted=True)
             x = matching.pool_with_rep(x, rep, self.pool_type)
             edge_index, w = matching.pool_edges_with_rep(edge_index, w, rep, n_pad)
             unpool = rep[unpool]
@@ -103,28 +108,28 @@ class GNNModuleDynamic(nn.Module):
         # while levels 2-3 stay fully dynamic
         lvl1 = level1 if level1 is not None else lvl(edge_index)
 
-        x1 = act(FeaStConv(32, self.heads, rows_sorted=False, name="l_conv1")(x, lvl1))
+        x1 = act(FeaStConv(32, self.heads, rows_sorted=True, name="l_conv1")(x, lvl1))
         x2, ei2, w2, un1 = DynamicPooling(
             32, self.pool_type, 2, self.edge_weight_type, self.wei_param,
             name="pooling1",
         )(x1, edge_index, edge_weight)
-        x2 = act(FeaStConv(64, self.heads, rows_sorted=False, name="l_conv2")(x2, lvl(ei2)))
+        x2 = act(FeaStConv(64, self.heads, rows_sorted=True, name="l_conv2")(x2, lvl(ei2)))
         x3, ei3, w3, un2 = DynamicPooling(
             64, self.pool_type, 2, self.edge_weight_type, self.wei_param,
             name="pooling2",
         )(x2, ei2, w2)
-        x3 = act(FeaStConv(128, self.heads, rows_sorted=False, name="l_conv3")(x3, lvl(ei3)))
-        x3 = act(FeaStConv(128, self.heads, rows_sorted=False, name="l_conv4")(x3, lvl(ei3)))
+        x3 = act(FeaStConv(128, self.heads, rows_sorted=True, name="l_conv3")(x3, lvl(ei3)))
+        x3 = act(FeaStConv(128, self.heads, rows_sorted=True, name="l_conv4")(x3, lvl(ei3)))
 
         u2 = x3[un2]
-        u2 = FeaStConv(64, self.heads, rows_sorted=False, name="r_conv1")(u2, lvl(ei2))
+        u2 = FeaStConv(64, self.heads, rows_sorted=True, name="r_conv1")(u2, lvl(ei2))
         x2 = jnp.concatenate([x2, u2], axis=1)
-        x2 = act(FeaStConv(64, self.heads, rows_sorted=False, name="r_conv2")(x2, lvl(ei2)))
+        x2 = act(FeaStConv(64, self.heads, rows_sorted=True, name="r_conv2")(x2, lvl(ei2)))
 
         u1 = x2[un1]
-        u1 = FeaStConv(32, self.heads, rows_sorted=False, name="r_conv3")(u1, lvl1)
+        u1 = FeaStConv(32, self.heads, rows_sorted=True, name="r_conv3")(u1, lvl1)
         x1 = jnp.concatenate([x1, u1], axis=1)
-        return act(FeaStConv(32, self.heads, rows_sorted=False, name="r_conv4")(x1, lvl1))
+        return act(FeaStConv(32, self.heads, rows_sorted=True, name="r_conv4")(x1, lvl1))
 
 
 class DualGNNDynamic(nn.Module):

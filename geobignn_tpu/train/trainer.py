@@ -122,13 +122,22 @@ class Trainer:
             from geobignn_tpu import parallel
 
             self._mesh = parallel.make_mesh(cfg.dp, cfg.gp, dcn=cfg.dcn)
-            model_sh = DualGNN(
-                force_depth=cfg.force_depth, pool_type=cfg.pool_type,
-                heads=cfg.heads, gp_axis="gp",
-                fusion=cfg.fusion_features,
-                compute_dtype=self.model.compute_dtype,
-                fc_dtype=self.model.fc_dtype,
-            )
+            if self.dynamic:
+                # dynamic pooling under dp/dcn replication: the in-forward
+                # matching is strictly per-sample, so the same model runs
+                # on every dp rank (config.validate rejects gp > 1 —
+                # edge-partitioning an in-forward coarsened graph is not
+                # defined).  This is the corpus-scale path for the learned
+                # edge-weight types 3-5 (reference run_py_bak.bat)
+                model_sh = self.model
+            else:
+                model_sh = DualGNN(
+                    force_depth=cfg.force_depth, pool_type=cfg.pool_type,
+                    heads=cfg.heads, gp_axis="gp",
+                    fusion=cfg.fusion_features,
+                    compute_dtype=self.model.compute_dtype,
+                    fc_dtype=self.model.fc_dtype,
+                )
             self._global_batch = cfg.dcn * cfg.dp * cfg.batch_size
             batch0 = parallel.stack_samples(
                 [sample0] * self._global_batch
@@ -138,6 +147,7 @@ class Trainer:
                 dict(loss_v=cfg.loss_v, loss_n=cfg.loss_n,
                      loss_v_scale=cfg.loss_v_scale, loss_n_scale=cfg.loss_n_scale),
                 augment=cfg.augment,
+                gp_shard=not self.dynamic,
             )
 
     # ------------------------------------------------------------------

@@ -198,16 +198,79 @@ def test_trainer_dynamic_pool_flag_type10():
     assert abs(m_d["loss"] - m_s["loss"]) < 0.5 * max(m_s["loss"], 1.0)
 
 
-def test_dynamic_pool_rejects_multichip():
+def test_dynamic_pool_rejects_gp_but_trains_dp():
+    """gp edge-partitioning is undefined for in-forward coarsened graphs
+    (fail fast); dp data-parallel replication works — the corpus-scale
+    path for the learned edge-weight types (VERDICT r4 next #5)."""
     from geobignn_tpu.config import Config
     from geobignn_tpu.data.builder import BuildConfig
     from geobignn_tpu.data.dataset import InMemoryDataset
     from geobignn_tpu.train import Trainer
 
     m_o = synth.icosphere(2)
-    ds = InMemoryDataset(
-        [(synth.add_noise(m_o, 0.2, seed=1), m_o)],
-        BuildConfig(granularity=16),
+    pairs = [(synth.add_noise(m_o, 0.2, seed=i), m_o) for i in range(2)]
+    ds = InMemoryDataset(pairs, BuildConfig(granularity=16))
+    with pytest.raises(ValueError, match="graph-partitioned"):
+        Trainer(Config(dynamic_pool=True, gp=2, granularity=16, seed=1), ds)
+
+    tr = Trainer(
+        Config(dynamic_pool=True, edge_weight_type=3, dp=2, granularity=16,
+               seed=1, max_epoch=2, augment=False, lr=2e-3),
+        ds,
     )
-    with pytest.raises(ValueError, match="single-chip"):
-        Trainer(Config(dynamic_pool=True, dp=2, granularity=16, seed=1), ds)
+    rng = np.random.default_rng(0)
+    m1 = tr.run_epoch(rng)
+    m2 = tr.run_epoch(rng)
+    assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+    assert m2["loss"] < m1["loss"], (m1["loss"], m2["loss"])
+
+
+def test_scan_matching_matches_scatter():
+    """The scatter-free (segmented-scan) matching is semantically
+    identical, round for round, to the original segment-scatter
+    formulation — on sorted AND unsorted inputs, with ties."""
+    from geobignn_tpu.ops.matching import _parallel_matching_scatter
+
+    m = synth.add_noise(synth.icosphere(3), 0.2, seed=2)
+    ei = graphs.build_vertex_graph_1ring(m.ev_indices, m.n_vertices)
+    n_pad = m.n_vertices + 8
+    trash = n_pad - 1
+    ei_pad = np.full((2, ei.shape[1] + 6), trash, np.int32)
+    ei_pad[:, : ei.shape[1]] = ei
+    rng = np.random.default_rng(0)
+    w = rng.uniform(0.1, 1.0, ei_pad.shape[1]).astype(np.float32)
+    # symmetric weights + a block of exact ties to exercise tie-breaking
+    w[: ei.shape[1] // 3] = 0.5
+    order = np.lexsort((ei_pad[1], ei_pad[0]))
+    ei_s, w_s = ei_pad[:, order], w[order]
+
+    for rounds in (1, 2, 8):
+        ref = np.asarray(_parallel_matching_scatter(
+            jnp.asarray(ei_s), jnp.asarray(w_s), n_pad, rounds=rounds))
+        got_sorted = np.asarray(parallel_matching(
+            jnp.asarray(ei_s), jnp.asarray(w_s), n_pad, rounds=rounds,
+            rows_sorted=True))
+        got_unsorted = np.asarray(parallel_matching(
+            jnp.asarray(ei_pad), jnp.asarray(w), n_pad, rounds=rounds))
+        np.testing.assert_array_equal(got_sorted, ref)
+        np.testing.assert_array_equal(got_unsorted, ref)
+
+
+def test_coalesce_compact_rows_sorted():
+    """compact=True returns globally non-decreasing rows (trash last) and
+    the same surviving edge set/weights as the in-place mode."""
+    ei = jnp.array([[0, 3, 0, 1, 2, 4, 4], [1, 0, 1, 0, 2, 4, 4]],
+                   dtype=jnp.int32)
+    w = jnp.array([1.0, 9.0, 3.0, 5.0, 7.0, 0.0, 0.0])
+    a_ei, a_w = coalesce_edges(ei, w, 5)
+    c_ei, c_w = coalesce_edges(ei, w, 5, compact=True)
+    rows = np.asarray(c_ei[0])
+    assert (np.diff(rows) >= 0).all()
+
+    def edge_set(e, ww):
+        e, ww = np.asarray(e), np.asarray(ww)
+        keep = e[0] != 4
+        return {(int(r), int(c), round(float(v), 5))
+                for r, c, v in zip(e[0][keep], e[1][keep], ww[keep])}
+
+    assert edge_set(c_ei, c_w) == edge_set(a_ei, a_w)

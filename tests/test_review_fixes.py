@@ -186,7 +186,7 @@ def test_config_validate_mode_matrix():
         (dict(halo_parts=2, dp=2), "exclusive"),
         (dict(halo_parts=2, dynamic_pool=True), "dynamic pooling"),
         (dict(halo_parts=2, edge_weight_type=4), "dynamic pooling"),
-        (dict(dynamic_pool=True, gp=2), "single-chip"),
+        (dict(dynamic_pool=True, gp=2), "graph-partitioned"),
         (dict(precision="fp8"), "precision"),
         (dict(precision="bfloat16", dynamic_pool=True), "bfloat16"),
         (dict(lr_sch="cosine"), "lr_sch"),
