@@ -131,9 +131,13 @@ def worker() -> None:
 
     cfg = Config(granularity=256)
     # bf16 fc heads are the production default (+4% measured, params f32,
-    # no scatters touched); GBN_FC_BF16=0 restores the f32 heads for A/B
+    # no scatters touched); GBN_FC_BF16=0 restores the f32 heads for A/B.
+    # GBN_BENCH_BF16=1: full bf16 activations (Config precision=bfloat16
+    # equivalent) — no speed win at bench scale (docs/RESULTS.md) but it
+    # halves activation HBM, which is what fits the 1.31M-face mesh
     fc_dt = None if os.environ.get("GBN_FC_BF16") == "0" else jnp.bfloat16
-    model = DualGNN(fc_dtype=fc_dt)
+    cdt = jnp.bfloat16 if os.environ.get("GBN_BENCH_BF16") == "1" else None
+    model = DualGNN(fc_dtype=fc_dt, compute_dtype=cdt)
     # jit the init: eager flax init dispatches hundreds of tiny ops
     # individually over the tunneled TPU (~3 min measured, load-dependent)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), single)

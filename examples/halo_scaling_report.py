@@ -29,11 +29,13 @@ def main():
     from geobignn_tpu.parallel.halo_train import build_halo_train_sample
 
     rows = []
-    # step_ms = MEASURED single-chip batch-1 training-step time:
-    # 7.62 ms at 20k faces (examples/bench_dynamic.py 'static' row),
-    # 278 ms at 327k faces (bench.py BENCH_SUBDIV=7: 18.4e6 msgs / 66.2e6)
-    for subdiv, parts_list, step_ms in ((5, (4, 8, 16), 7.62),
-                                        (7, (8, 16, 32), 278.0)):
+    # step_ms = MEASURED single-chip batch-1 training-step time (round 5):
+    # 5.98 ms at 20k faces (examples/bench_dynamic.py 'static' row),
+    # 144.3 ms at 327k faces (bench.py BENCH_SUBDIV=7: 127.5e6 edges/s).
+    # Faster single-chip steps make these bounds HARDER (less compute to
+    # amortize the same exchange) — the current numbers supersede r4's
+    for subdiv, parts_list, step_ms in ((5, (4, 8, 16), 5.98),
+                                        (7, (8, 16, 32), 144.3)):
         m_o = synth.icosphere(subdiv)
         m_n = synth.add_noise(m_o, 0.2, seed=0)
         bc = BuildConfig(granularity=256, reorder=False)

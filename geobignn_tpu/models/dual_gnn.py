@@ -254,6 +254,31 @@ class DualGNN(nn.Module):
             h = act(nn.Dense(1024, dtype=fdt, name="fc_f1")(feat))
             return nn.Dense(3, dtype=fdt, name="fc_f2")(h)
 
+        def run_head(head_fn, feat):
+            """remat'd head; for very large N additionally nn.scan over
+            row chunks so the (chunk, 1024) hidden never materializes at
+            full N — the f-branch head temp alone is 2.5 GB at 1.31M
+            faces (the single largest allocation in the OOM'd 1M-mesh
+            step).  Chunking changes nothing numerically (rows are
+            independent) and the reshape requires only divisibility."""
+            n = feat.shape[0]
+            n_chunks = 1
+            while (n // n_chunks > (1 << 18) and n % (n_chunks * 2) == 0
+                   and n_chunks < 32):
+                n_chunks *= 2
+            if n_chunks == 1:
+                return nn.remat(head_fn)(self, feat)
+
+            def body(mdl, carry, xs):
+                return carry, head_fn(mdl, xs)
+
+            _, out = nn.scan(
+                nn.remat(body),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+            )(self, 0, feat.reshape(n_chunks, n // n_chunks, feat.shape[1]))
+            return out.reshape(n, -1)
+
         h_v = h_f = None
         if self.fusion:
             from geobignn_tpu.models.fusion import DualFusionLayer
@@ -269,7 +294,7 @@ class DualGNN(nn.Module):
         feat_v = GNNModule(
             self.pool_type, self.heads, self.gp_axis, dt, name="gnn_v"
         )(sample.v, x_v_in)
-        d = nn.remat(head_v)(self, feat_v).astype(jnp.float32)
+        d = run_head(head_v, feat_v).astype(jnp.float32)
         if self.force_depth:
             d = d * sample.v.depth_direction
         vert_p = d + xyz
@@ -293,6 +318,6 @@ class DualGNN(nn.Module):
         feat_f = GNNModule(
             self.pool_type, self.heads, self.gp_axis, dt, name="gnn_f"
         )(sample.f, x_f)
-        n = nn.remat(head_f)(self, feat_f).astype(jnp.float32)
+        n = run_head(head_f, feat_f).astype(jnp.float32)
         norm_p = geometry.safe_normalize(n)
         return vert_p, norm_p

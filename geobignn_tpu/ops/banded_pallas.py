@@ -567,7 +567,11 @@ def _banded_aggregate_bwd(compute_dtype, vma, res, gout):
         # w binds replicated: built-in ops get this psum from the pvary
         # transpose, a custom VJP must reduce its own cotangent
         dw = jax.lax.psum(dw, tuple(vma))
-    return dr, dp, dx, dw, dm
+    # cotangent dtypes must match the primals (custom_vjp contract): the
+    # kernels accumulate in f32, but under a bf16 compute_dtype the
+    # primal operands arrive bf16 (hit by the 1.31M-face bf16 step)
+    return (dr.astype(r.dtype), dp.astype(p.dtype), dx.astype(x.dtype),
+            dw.astype(w.dtype), dm)
 
 
 _banded_aggregate_kernel.defvjp(_banded_aggregate_fwd, _banded_aggregate_bwd)

@@ -447,7 +447,10 @@ def _bs_bwd(compute_dtype, res, gout):
         dw = jnp.moveaxis(wbar.sum(axis=0).reshape(heads, c_out, c_in), 1, 2)
     else:
         dw = wbar.sum(axis=0).reshape(heads, c_in, c_out)
-    return dr, dp, dx, dw, dm, dik
+    # cotangent dtypes must match the primals (custom_vjp contract; the
+    # kernels accumulate f32 but bf16 compute passes bf16 primals)
+    return (dr.astype(r.dtype), dp.astype(p.dtype), dx.astype(x.dtype),
+            dw.astype(w.dtype), dm, dik)
 
 
 bs_aggregate.defvjp(_bs_fwd, _bs_bwd)

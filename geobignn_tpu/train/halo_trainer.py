@@ -36,8 +36,9 @@ class HaloTrainer:
     mesh_pairs / eval_pairs: [(TriMesh noisy, TriMesh original)]."""
 
     # measured surface-to-volume knee: faces/partition at which the
-    # modeled no-overlap halo efficiency crosses ~80% (20480 faces / 8
-    # parts -> 79.8%, docs/halo_scaling.json)
+    # modeled no-overlap halo efficiency falls through ~80% (20480 faces
+    # / 8 parts -> 76.0% against the round-5 5.98 ms single-chip step;
+    # 86.3% at 4 parts — docs/halo_scaling.json)
     KNEE_FACES_PER_PART = 2560
 
     def __init__(self, cfg: Config, mesh_pairs, eval_pairs=None,
