@@ -68,14 +68,21 @@ def update_positions(
     return jax.lax.fori_loop(0, n_iter, body, points)
 
 
+_PINNED_STATE: dict | None = None  # live modules displaced by a snapshot
+
+
 def _import_pinned(run_dir: str):
     """Import the `geobignn_tpu` snapshot saved under `run_dir/code_bak`,
     REPLACING the live package in sys.modules, and return its
     infer.predict module — so inference always runs the training-time code
     (reference: code/test_dual.py:127-128 `sys.path.insert(0, bak_dir)`).
-    Returns None when the run has no snapshot.  Process-global: after this
-    call, every `geobignn_tpu` import in this process resolves to the
-    snapshot (exactly the reference's semantics)."""
+    Returns None when the run has no snapshot.  Process-global while the
+    snapshot is in use (the reference's semantics: function-level imports
+    inside snapshot code must also resolve to the snapshot); batch entries
+    (predict_dir) call `unpin_live_package` when done so a train->predict
+    chain — or a test suite — doesn't run the REST of the process on the
+    snapshot (a campaign run used to silently hijack every later
+    geobignn_tpu import)."""
     bak = os.path.abspath(os.path.join(run_dir, "code_bak"))
     if not os.path.isdir(os.path.join(bak, "geobignn_tpu")):
         return None
@@ -91,7 +98,7 @@ def _import_pinned(run_dir: str):
         del sys.modules[m]
     sys.path.insert(0, bak)
     try:
-        return importlib.import_module("geobignn_tpu.infer.predict")
+        mod = importlib.import_module("geobignn_tpu.infer.predict")
     except Exception:
         # failed snapshot import must not leave a half-purged process
         sys.path.remove(bak)
@@ -99,6 +106,29 @@ def _import_pinned(run_dir: str):
             del sys.modules[m]
         sys.modules.update(live)
         raise
+    global _PINNED_STATE
+    _PINNED_STATE = dict(live=live, bak=bak)
+    return mod
+
+
+def unpin_live_package() -> None:
+    """Undo `_import_pinned`'s sys.modules takeover: restore the live
+    geobignn_tpu modules.  Safe no-op when nothing is pinned.  Snapshot
+    objects already constructed keep working through their own module
+    references; only NEW imports resolve live again."""
+    global _PINNED_STATE
+    if not _PINNED_STATE:
+        return
+    import sys
+
+    bak = _PINNED_STATE["bak"]
+    if bak in sys.path:
+        sys.path.remove(bak)
+    for m in [m for m in list(sys.modules)
+              if m == "geobignn_tpu" or m.startswith("geobignn_tpu.")]:
+        del sys.modules[m]
+    sys.modules.update(_PINNED_STATE["live"])
+    _PINNED_STATE = None
 
 
 class Predictor:
@@ -297,6 +327,21 @@ def predict_dir(
 
     enable_compile_cache()
     pred = Predictor.from_run(run_dir, sub_size)
+    try:
+        return _predict_dir_body(
+            pred, data_dir, dataset_root, n_update_iters,
+            halo_parts, halo_banded,
+        )
+    finally:
+        # version-pinning replaced the live package in sys.modules for
+        # the duration of this batch (snapshot code does function-level
+        # imports at call time); restore it so the rest of the PROCESS —
+        # a train->predict chain, a campaign, the test suite — runs live
+        unpin_live_package()
+
+
+def _predict_dir_body(pred, data_dir, dataset_root,
+                      n_update_iters, halo_parts, halo_banded) -> dict:
     cfg = pred.cfg
 
     pairs: list[tuple[str, str | None]] = []

@@ -167,3 +167,40 @@ def test_predict_dir_and_eval(tmp_path, trained):
     r = eval_denoising_result(res["result_dir"], str(od))
     assert r is not None and r["corpus"]["angle"] > 0
     assert os.path.exists(os.path.join(res["result_dir"], "ErrorInfo_h.txt"))
+
+
+def test_predict_dir_restores_live_package(tmp_path):
+    """Pinned batch inference must not leave the snapshot hijacking
+    sys.modules for the rest of the process (a campaign run used to make
+    every later geobignn_tpu import resolve to the run's code_bak)."""
+    import sys
+
+    from geobignn_tpu.config import Config
+    from geobignn_tpu.data import synth
+    from geobignn_tpu.train.trainer import train
+
+    root = tmp_path / "dataset" / "Synthetic"
+    for split in ("train", "test"):
+        (root / split / "noisy").mkdir(parents=True)
+        (root / split / "original").mkdir(parents=True)
+        m_o = synth.icosphere(2)
+        meshio.write_obj(str(root / split / "original" / "s.obj"),
+                         m_o.points, m_o.fv_indices)
+        m_n = synth.add_noise(m_o, 0.15, seed=0)
+        meshio.write_obj(str(root / split / "noisy" / "s_n1.obj"),
+                         m_n.points, m_n.fv_indices)
+        (root / f"{split}_list.txt").write_text("s\n")
+    cfg = Config(max_epoch=1, seed=0, augment=False, granularity=16,
+                 dataset_dir=str(tmp_path / "dataset"), sub_size=10 ** 6,
+                 log_dir=str(tmp_path / "log"))
+    run_dir = train(cfg)
+    live_before = sys.modules["geobignn_tpu.data.builder"]
+
+    from geobignn_tpu.infer.predict import predict_dir
+
+    rep = predict_dir(run_dir, dataset_root=cfg.dataset_dir)
+    assert rep["rows"]
+    import geobignn_tpu.data.builder as b_after
+
+    assert sys.modules["geobignn_tpu.data.builder"] is live_before
+    assert b_after is live_before
