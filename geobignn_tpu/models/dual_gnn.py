@@ -226,6 +226,10 @@ class DualGNN(nn.Module):
     # is pathologically slow (3.3 s/step vs 0.98 ms at f32), and f32 matmuls
     # already ride bf16 MXU passes, so bf16 activations buy nothing here.
     # The mode exists for numerics experiments, not throughput.
+    fc_chunk_rows: int = 1 << 18  # fc heads nn.scan over row chunks when
+    # N exceeds this (the (N, 1024) hidden was the largest allocation of
+    # the 1.31M-face step, 2.5 GB); numerically identity — rows are
+    # independent (tests/test_model.py::test_chunked_heads_match)
     fc_dtype: jnp.dtype | None = None  # override for the fc HEADS only
     # (None -> compute_dtype).  The heads are dense (N,32)x(32,1024)x
     # (1024,3) matmuls with no scatter in their path, so bf16 here dodges
@@ -263,8 +267,8 @@ class DualGNN(nn.Module):
             independent) and the reshape requires only divisibility."""
             n = feat.shape[0]
             n_chunks = 1
-            while (n // n_chunks > (1 << 18) and n % (n_chunks * 2) == 0
-                   and n_chunks < 32):
+            while (n // n_chunks > self.fc_chunk_rows
+                   and n % (n_chunks * 2) == 0 and n_chunks < 32):
                 n_chunks *= 2
             if n_chunks == 1:
                 return nn.remat(head_fn)(self, feat)

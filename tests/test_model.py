@@ -201,3 +201,26 @@ def test_bf16_compute_mode(sample_and_plan):
     np.testing.assert_allclose(
         np.asarray(v16)[mask], np.asarray(v32)[mask], atol=0.05
     )
+
+
+def test_chunked_heads_match(model_out):
+    """fc heads scanned over row chunks (the 1.31M-face memory fix) are
+    numerically the identity transform: same params, same outputs."""
+    sample, plan, model, params, vert_p, norm_p = model_out
+    chunky = DualGNN(fc_chunk_rows=64)  # force several chunks at test size
+    assert plan.v.n1 % 4 == 0 and plan.f.n1 % 4 == 0
+    v2, n2 = jax.jit(chunky.apply)(params, sample)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(vert_p),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n2), np.asarray(norm_p),
+                               rtol=1e-6, atol=1e-6)
+    # gradients flow identically through the scanned heads
+    def loss(m, p):
+        v, n = m.apply(p, sample)
+        return (v * v).sum() + (n * n).sum()
+    g1 = jax.grad(lambda p: loss(model, p))(params)
+    g2 = jax.grad(lambda p: loss(chunky, p))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        sc = max(float(jnp.abs(a).max()), 1e-6)  # scan changes reduction
+        np.testing.assert_allclose(  # order; rel-to-leaf-scale tolerance
+            np.asarray(a) / sc, np.asarray(b) / sc, rtol=5e-5, atol=5e-5)
