@@ -8,8 +8,11 @@ Two phases, selected by argv[1]:
          env (JAX_PLATFORMS=cpu, xla_force_host_platform_device_count=8).
 
   chip   (TPU) — the full single-chip train step at 1.31M faces is
-         bench.py's job (BENCH_SUBDIV=8 BENCH_BATCH=1); this phase only
-         reports peak HBM from the live step via device memory stats.
+         bench.py's job (GBN_BENCH_BF16=1 BENCH_SUBDIV=8 BENCH_BATCH=1;
+         f32 activations exceed HBM — see docs/results_1m.json).  This
+         phase snapshots device memory stats, which return null on the
+         axon platform: peak-HBM evidence comes from the f32 variant's
+         compile-time "Program hbm requirement 13.63G" report instead.
 
 Results append to docs/results_1m.json.
 """
